@@ -1,0 +1,120 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+These extend the engine beyond the reference's operator set (which has no
+text analytics) toward what a 100 TB training-data pipeline needs:
+tokenization, shingles, quality signals, language ID, fingerprints.
+Everything here is a pure Catalyst expression (whole-stage codegen, no
+Python), so these run at full scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-density
+# language-ID heuristic. Deliberately small + deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "in", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "en", "un", "une"],
+}
+
+# BPE-ish tokenizer: letter runs, digit runs, or single punctuation marks.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, " ")
+
+
+def tokens_regex(text: Column) -> Column:
+    """BPE-ish regex tokens (letters / digits / punct singletons)."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_ws(text))
+
+
+def token_count_regex(text: Column) -> Column:
+    return F.size(tokens_regex(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>; [] when the doc is shorter
+    than n words. Basis for Jaccard / MinHash dedup (operators.dedup)."""
+    w = tokens_ws(text)
+    # transform over a 0-based index sequence; element_at is 1-based.
+    # CaseWhen evaluates lazily per row, so the sequence/element_at branch
+    # never runs for short docs.
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + 1 + k) for k in range(n)]),
+        )
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords — the classic
+    cheap quality / language signal."""
+    w = tokens_ws(text)
+    hits = F.size(F.filter(w, lambda t: t.isin(STOPWORDS[lang])))
+    return hits / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    stripped = F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + stopword density -
+    punctuation noise. Deterministic, SQL-mirrorable."""
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 5000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw = F.least(stopword_ratio(text) * 2.5, F.lit(0.5))
+    return F.round(F.greatest(len_ok + sw - punct_ratio(text), F.lit(0.0)), 4)
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-density scores (n-gram heuristic)."""
+    w = tokens_ws(text)
+    denom = F.greatest(F.size(w), F.lit(1)).cast("double")
+    return {
+        lang: F.size(F.filter(w, lambda t: t.isin(words))) / denom
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def langid_best(text: Column, threshold: float = 0.08) -> Column:
+    """argmax language with deterministic tie-break (lexicographic lang
+    order via greatest-on-struct), 'und' when below threshold."""
+    scores = langid_scores(text)
+    # struct(score, neg-lexicographic lang) so greatest() picks highest
+    # score then lexicographically-smallest language.
+    pairs = [
+        F.struct(s.alias("score"), F.lit(-i).alias("ord"), F.lit(lang).alias("lang"))
+        for i, (lang, s) in enumerate(sorted(scores.items()))
+    ]
+    best = F.greatest(*pairs)
+    return F.when(best["score"] >= threshold, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum to
+    space, squeeze runs, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9]+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the normalized
+    text (exact-dedup key; rolling-hash analog expressible as md5 over a
+    canonical byte stream)."""
+    return F.md5(normalize_text(text))

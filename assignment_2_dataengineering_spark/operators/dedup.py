@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Five families, each chosen for a different scale/recall trade-off:
+
+- exact_dedup_groups: hash-groupBy on a content fingerprint. One shuffle
+  on the 128-bit key; perfectly scalable.
+- ngram_jaccard_pairs: exact Jaccard over word-shingles via an inverted
+  shingle index (self-join on shingle). A document-frequency cap drops
+  ubiquitous shingles, which is both the standard scalability guard (a
+  shingle in 10% of 100 TB would otherwise quadratically explode the
+  join) and a precision win.
+- minhash_lsh_pairs: MinHash signatures + banded LSH — candidate
+  generation cost ~O(n·bands) instead of O(n²); candidates verified with
+  exact Jaccard so the output has no false positives.
+- simhash_pairs: 64-bit SimHash with block-permutation banding for
+  Hamming-distance ≤ k near-dup detection.
+- embedding_near_dupes: cosine-similarity near-dups over an embedding
+  column (see operators.similarity for the ANN machinery).
+
+All hashing is seeded/deterministic (xxhash64 / md5), so results are
+stable across runs, executors, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by normalized-text fingerprint.
+    Returns (text_hash, keep_id, n_copies); keep_id = min id (stable)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) inverted index."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Plan shape: explode→distinct (1 shuffle) → self-join on shingle
+    (1 shuffle, co-partitioned) → pair-count agg → broadcast-join the
+    tiny per-doc size table. `max_doc_freq` caps shingle document
+    frequency before the self-join — the O(df²) fan-out guard at scale.
+    """
+    sh = shingle_index(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq_ok = sh.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq).select("shingle")
+        sh = sh.join(freq_ok, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: minhash_i = min over shingles of
+    xxhash64(seed, i, shingle). Computed with array exprs (no explode, no
+    shuffle): one narrow pass over the corpus."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"), F.size(sh).alias("n_shingles"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    band → bucket-join (explode bands, groupBy (band, band_hash)) keeps
+    candidate generation linear-ish; candidates are then verified against
+    the exact shingle Jaccard so output pairs are true positives only
+    (recall, not precision, is what LSH trades away).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit position, sum ±1
+    across token hashes; sign → bit.
+
+    Plan: explode tokens → xxhash64 → groupBy(doc) with 64 conditional
+    sums (partial/map-side combine applies, so the shuffle carries one
+    64-int row per doc per partition, not per token)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).withColumn("__h", F.xxhash64(F.lit(seed), F.col("__tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    counts = toks.groupBy(id_col).agg(*bit_sums)
+    bits = F.array(*[F.when(F.col(f"__b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(64)])
+    return counts.select(F.col(id_col), bits.alias("simhash_bits"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into `blocks` blocks; any pair with
+    distance ≤ max_hamming shares ≥1 identical block when
+    blocks > max_hamming/ (64/blocks)… candidates = equal-block join,
+    verified by exact Hamming distance. With blocks=4 and 16-bit blocks,
+    pairs within distance 3·? — guaranteed complete for distance < blocks.
+    """
+    sh = simhash64(df, text_col, id_col, seed)
+    block_size = 64 // blocks
+    block_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("block"),
+                F.xxhash64(
+                    *[F.element_at("simhash_bits", bi * block_size + j + 1) for j in range(block_size)]
+                ).alias("bucket"),
+            )
+            for bi in range(blocks)
+        ]
+    )
+    buckets = sh.select(F.col(id_col), F.col("simhash_bits"), F.explode(block_cols).alias("bb")).select(
+        id_col, "simhash_bits", F.col("bb.block").alias("block"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

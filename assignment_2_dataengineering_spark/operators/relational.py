@@ -1,0 +1,84 @@
+"""Reusable relational operators (SURVEY.md §2.2-2.6).
+
+Each helper is a pure DataFrame→DataFrame transform built from Catalyst
+expressions; no collect(), no Python row loops. Reference citations point
+at the pandas/paho construct each one re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, keys: list[str], ts_col: str, tiebreak: list[str] | None = None) -> DataFrame:
+    """Last-value-per-key snapshot (A9): the reference's
+    `latest_by_facility[fid] = {**prev, **validated}` maps
+    (dashboard.py:364-365, dashboard.py:391-392) as a ranking window.
+
+    Scale note: the window shuffles once on `keys`; at 100 TB this is a
+    single hash-partitioned pass (no global sort), and AQE splits skewed
+    keys. `max_by`-style agg would also work but loses the full row.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_key(df: DataFrame, keys: list[str], order: list[Column], k: int) -> DataFrame:
+    """Bounded per-key retention (O3): the reference's deque(maxlen=5000)
+    (dashboard.py:266-267) as rank-and-filter. Map-side partial top-k is
+    handled by Spark's WindowGroupLimit pushdown (rank<=k filter)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def time_horizon(df: DataFrame, ts_col: str, minutes: int) -> DataFrame:
+    """Keep rows within `minutes` of the data's max timestamp (P7/A6):
+    dashboard.py:546-549 anchors the horizon to max(ts) in state, not
+    wall-clock. Implemented as a broadcast scalar join — one extra
+    map-stage, no driver collect, safe at any scale."""
+    mx = df.agg(F.max(ts_col).alias("__max_ts"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(F.col(ts_col) >= F.col("__max_ts") - F.expr(f"INTERVAL {minutes} MINUTES"))
+        .drop("__max_ts")
+    )
+
+
+def time_bucket(ts: Column, seconds: int) -> Column:
+    """Tumbling-window bucket (A3/F5): dashboard.py:554's
+    `dt.floor('5min')`. Pure epoch arithmetic so the result is identical
+    in any session timezone (date_trunc would not be)."""
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(ts) / seconds).cast("long") * seconds)
+
+
+def semi_anti_split(left: DataFrame, right: DataFrame, on: Column, labels=("with_match", "without_match")) -> DataFrame:
+    """Semi/anti membership split (P3): extractor.py:216-218 drops unit
+    records absent from the operating map; this returns both branches
+    tagged so callers can route (keep / quarantine / log)."""
+    semi = left.join(right, on, "left_semi").withColumn("bucket", F.lit(labels[0]))
+    anti = left.join(right, on, "left_anti").withColumn("bucket", F.lit(labels[1]))
+    return semi.unionByName(anti)
+
+
+def mode_value(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
+    """Deterministic mode (A5): dashboard.py:719's `.mode()[0]` is
+    pandas-order-dependent; the engine defines ties → smallest value
+    (SURVEY.md §7.4 item 6)."""
+    alias = alias or f"mode_{col}"
+    return (
+        df.groupBy(col)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(col).asc())
+        .limit(1)
+        .select(F.col(col).alias(alias))
+    )

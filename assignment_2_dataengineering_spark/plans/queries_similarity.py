@@ -1,0 +1,94 @@
+"""Similarity-search queries over the `embeddings` table (array<float>
+column, dim 64): exact brute-force cosine top-k (the baseline), the
+LSH-bucketed approximate path, and embedding-cosine near-dup pairs.
+
+The brute-force oracle mirrors the fold exactly: DuckDB sums
+double-casted products left-to-right in list order, as does Spark's
+`aggregate`, so results match to the last bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as SIM
+from ..sources.tables import load_table
+from .registry import register
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+# DuckDB scalar macros for dot/norm over FLOAT[] in double precision.
+_COS_SQL = """
+        round(
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / nullif(
+              sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+              0.0),
+          6)
+"""
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT * FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                  {_COS_SQL} AS cos_sim
+           FROM q JOIN c ON c.vec_id <> q.vec_id
+         )
+    SELECT query_id, match_id, CAST(rank AS INTEGER) AS rank, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, match_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors as queries: broadcast
+    the query set, scan the corpus once, per-query partial top-k. The
+    correctness baseline for the ANN path, and the right plan whenever
+    |queries| is small — even against a 100 TB corpus it is one scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return SIM.brute_force_topk(queries, emb, k=_TOP_K)
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate candidates → rows-only; recall vs brute force asserted in tests
+    tags=("similarity",),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (16 planes, 4 bands)
+    + exact rerank — the scale path when the query side is also huge:
+    candidates come from bucket-co-partitioned joins instead of a cross
+    product. Recall against q_ann_bruteforce is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return SIM.lsh_topk(queries, emb, k=_TOP_K)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=None,  # LSH candidate generation → rows-only; subset-of-bruteforce asserted in tests
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
+    verified by exact cosine — dedup modality #5. Production near-dup
+    threshold would be ~0.9; the synthetic corpus's max pairwise cosine
+    is ~0.51, so the query uses 0.45 to produce a non-empty, checkable
+    result set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dupes(emb, threshold=0.45)

@@ -1,0 +1,197 @@
+"""Text-analysis + deduplication queries over the `documents` table —
+the training-data-pipeline extensions (language ID, quality scoring,
+token counting, fingerprinting, four text-dedup modalities).
+
+Oracles mirror every Catalyst expression in DuckDB SQL; the two
+randomized-banding operators (MinHash-LSH, SimHash) are verified
+rows-only by the driver but covered by pytest invariants
+(tests/test_dedup.py): LSH output ⊆ exact-Jaccard output etc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..sources.tables import load_table
+from .registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it','that','for')"
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id, lang,
+           length(text) AS len_chars,
+           len(string_split(text, ' ')) AS n_tokens_ws,
+           round(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL}))
+                 * 1.0 / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                 * 1.0 / greatest(length(text), 1), 4) AS punct_ratio
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document: length, whitespace-token count,
+    stopword density, punctuation noise — the cheap pre-filters every
+    corpus pipeline runs before expensive model-based scoring. Pure
+    codegen expressions: runs at scan speed on 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(t).alias("len_chars"),
+        TX.token_count_ws(t).alias("n_tokens_ws"),
+        F.round(TX.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(t), 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / punct singletons) — the standard
+    sizing metric for training corpora."""
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws(t).alias("n_ws_tokens"),
+        TX.token_count_regex(t).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 over canonicalized text
+    (lowercase, non-alnum→space, squeeze, trim) — the exact-dedup key."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(len(list_filter(string_split(text,' '), w -> w IN {_STOP_SQL}))
+                     * 1.0 / greatest(len(string_split(text,' ')), 1), 4) AS en_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score,
+           CASE WHEN en_score >= 0.08 THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-density n-gram scoring): emits the
+    en-score and thresholded prediction. The synthetic corpus draws from
+    one vocabulary, so the interesting property is determinism of the
+    scoring, which the oracle checks exactly."""
+    d = T(spark, sf_dir, "documents")
+    en = F.round(TX.stopword_ratio(F.col("text"), "en"), 4)
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("en_score"),
+        F.when(en >= 0.08, F.lit("en")).otherwise(F.lit("und")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; keeper = min
+    doc_id. One shuffle on a 128-bit key — the always-first dedup pass at
+    any scale."""
+    return DD.exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b, shared,
+           round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+    FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.3
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index —
+    the verification layer under MinHash. (The production path sets
+    max_doc_freq to cap fan-out; unset here so the oracle is exact.)"""
+    return DD.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # randomized banding → rows-only driver check; invariants in tests/test_dedup.py
+    tags=("dedup",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidate pairs verified with
+    exact Jaccard ≥ 0.3. Candidate generation is linear in corpus size —
+    the 100 TB dedup path. Output ⊆ q_dedup_ngram_jaccard by
+    construction (verified in tests)."""
+    return DD.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # banding + hamming verify; invariants in tests/test_dedup.py
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 8 via 4-block pigeonhole
+    banding (complete for distance ≤ 3 blocks-different); exact Hamming
+    verification on candidates."""
+    return DD.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=8)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the bench-tagged queries from the registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Materialization is a noop-format write: the full plan executes on the
+cluster but nothing crosses back to the driver, so the number measures
+the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+    from assignment_2_dataengineering_spark.session import get_spark
+
+    spark = get_spark(app_name="a2de-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the measured window
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    specs = [s for s in all_specs().values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
