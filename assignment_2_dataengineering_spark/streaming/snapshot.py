@@ -1,0 +1,119 @@
+"""Latest-per-key snapshot state (SURVEY.md §2.9 T4, §7.4 hard part 1).
+
+The reference keeps `latest_by_facility[fid] = {**prev, **validated}`
+under an RLock (dashboard.py:363-370): per-key last-write-wins with
+field-level merge. Spark owns the concurrency; the operator becomes:
+
+- batch/replay form: ranking window (operators.relational.latest_per_key)
+  with per-field backfill via last(ignorenulls) when field-merge matters;
+- streaming form: groupBy(key).agg(max_by/last) in `update` output mode —
+  implemented here over micro-batches with foreachBatch so the same
+  merge logic runs incrementally against a state store table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot_batch(events: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """Field-merged latest snapshot over a bounded event set: for each
+    measure, the newest non-null value (`{**prev, **new}` semantics —
+    a newer event missing a field does NOT erase the older value).
+
+    last(col, ignorenulls=True) over a ts-ordered window per key; one
+    shuffle on the key."""
+    measures = [c for c in events.columns if c not in (key, ts_col, "timestamp")]
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    merged = events.select(
+        key,
+        F.col(ts_col),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in measures],
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed(ts_col, "last_ts")
+    )
+
+
+def streaming_latest_snapshot(events: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """Streaming form: per-key max_by aggregation in update mode.
+    Attach to `writeStream.outputMode("update")`; Spark's state store
+    holds one row per key (bounded by key cardinality, not stream
+    length — the scalable analog of the reference's dict)."""
+    measures = [c for c in events.columns if c not in (key, ts_col, "timestamp")]
+    return events.groupBy(key).agg(
+        F.max(ts_col).alias("last_ts"),
+        *[F.max_by(c, ts_col).alias(c) for c in measures],
+    )
+
+
+def merge_snapshot_batch(state: dict[str, DataFrame], key: str):
+    """foreachBatch upsert closure: maintains a snapshot table across
+    micro-batches with {**prev, **new} column-level coalesce — the exact
+    reference merge (dashboard.py:364-365) as an idempotent batch join.
+
+    `state` is a single-slot dict {"df": snapshot} owned by the driver;
+    in production the table would live in Delta/Iceberg and this closure
+    would be a MERGE."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        inc = latest_snapshot_batch(batch, key)
+        prev = state.get("df")
+        if prev is None:
+            # eager materialization: a micro-batch DataFrame is only valid
+            # within its foreachBatch call — chaining lazy plans across
+            # batches re-evaluates stale sources (and grows lineage
+            # unboundedly). localCheckpoint pins the rows and cuts lineage.
+            state["df"] = inc.localCheckpoint(eager=True)
+            return
+        measures = [c for c in inc.columns if c not in (key, "last_ts")]
+        p = prev.select(
+            key,
+            F.col("last_ts").alias("__p_last_ts"),
+            *[F.col(c).alias(f"__p_{c}") for c in measures],
+        )
+        joined = inc.join(p, key, "full_outer")
+        # event-time merge, not arrival-order: the newer side (by last_ts)
+        # wins each field, backfilling its nulls from the older side —
+        # robust to micro-batches arriving out of replay order (a file
+        # source orders by mtime; a real bus gives no order guarantee).
+        newer_inc = F.col("last_ts").isNotNull() & (
+            F.col("__p_last_ts").isNull() | (F.col("last_ts") >= F.col("__p_last_ts"))
+        )
+        state["df"] = joined.select(
+            key,
+            F.greatest("last_ts", "__p_last_ts").alias("last_ts"),
+            *[
+                F.when(newer_inc, F.coalesce(F.col(c), F.col(f"__p_{c}")))
+                .otherwise(F.coalesce(F.col(f"__p_{c}"), F.col(c)))
+                .alias(c)
+                for c in measures
+            ],
+        ).localCheckpoint(eager=True)
+
+    return apply
+
+
+def enrichment_upsert_batch(dim_state: dict[str, DataFrame], fetch_missing):
+    """J8 fallback-enrichment upsert (dashboard.py:277-307): per
+    micro-batch, anti-join event keys against the dim; fetch rows for the
+    misses from a secondary source (JDBC in the reference); append
+    insert-if-absent. `fetch_missing(keys_df) -> DataFrame` abstracts the
+    secondary lookup (JDBC/REST/static)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        dim = dim_state["df"]
+        key = dim.columns[0]
+        misses = batch.select(key).distinct().join(dim.select(key), key, "left_anti")
+        fetched = fetch_missing(misses)
+        if fetched is not None:
+            dim_state["df"] = dim.unionByName(fetched.join(dim.select(key), key, "left_anti"))
+
+    return apply

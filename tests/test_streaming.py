@@ -1,0 +1,136 @@
+"""Streaming e2e: replay the fixture event stream through a file source
+micro-batch by micro-batch (availableNow) and assert the ingest gate,
+routing, snapshot, and window sinks — mirroring dashboard.py's observed
+behavior on the FIXTURES.md §B8 edge cases."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.streaming import ingest, replay, snapshot, windows
+from tests.fixtures import nem
+
+
+@pytest.fixture(scope="module")
+def event_lines():
+    return nem.event_stream()
+
+
+@pytest.fixture(scope="module")
+def parsed_batch(spark, event_lines):
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    return ingest.parse_events(raw)
+
+
+def test_routing_and_validation(parsed_batch, event_lines):
+    fac = ingest.facility_branch(parsed_batch)
+    mkt = ingest.market_branch(parsed_batch)
+    quar = ingest.quarantine_branch(parsed_batch)
+    n_fac, n_mkt, n_quar = fac.count(), mkt.count(), quar.count()
+    # every input line lands in exactly one branch
+    assert n_fac + n_mkt + n_quar == len(event_lines)
+    reasons = {r.reason for r in quar.collect()}
+    assert "warm_start_sentinel" in reasons  # publisher.py:29-37 → dropped
+    assert "malformed_json" in reasons  # dashboard.py:407-408
+    assert "empty_id" in reasons  # Pydantic min_length=1
+    assert "short_or_null_timestamp" in reasons  # min_length=20
+    assert "unparseable_timestamp" in reasons  # dashboard.py:26-27
+
+
+def test_missing_measures_default_zero(parsed_batch):
+    # FIXTURES.md B8: event missing power_mw/co2_tonnes accepted with 0.0
+    fac = ingest.facility_branch(parsed_batch)
+    row = fac.filter((F.col("facility_id") == "FAC001") & (F.col("power_mw") == 0.0))
+    assert row.count() >= 1
+
+
+def test_negative_power_accepted(parsed_batch):
+    fac = ingest.facility_branch(parsed_batch)
+    assert fac.filter(F.col("power_mw") < 0).count() > 0
+
+
+def test_enrichment_drops_unknown_facility(spark, parsed_batch):
+    from assignment_2_dataengineering_spark.plans import nem_etl
+    from assignment_2_dataengineering_spark.schemas import FUELTECH_SCHEMA
+
+    facs = nem.facilities_raw()
+    fdf = nem_etl.load_facilities_json(spark, facs)
+    fuel = spark.createDataFrame(nem.fueltech_map(), FUELTECH_SCHEMA)
+    lookup = nem_etl.flatten_facilities(fdf, fuel)
+    fac_events = ingest.facility_branch(parsed_batch)
+    enriched = ingest.enrich_facility_events(fac_events, lookup)
+    assert enriched.filter(F.col("facility_id") == "UNKNOWN9").count() == 0
+    assert "region" in enriched.columns and "facility_name" in enriched.columns
+
+
+def test_dedup_suppresses_duplicate_events(parsed_batch):
+    fac = ingest.facility_branch(parsed_batch)
+    deduped = windows.dedup_events(fac, ["facility_id"])
+    dup_key = fac.groupBy("facility_id", "ts").count().filter(F.col("count") > 1)
+    assert dup_key.count() >= 1  # fixture injects a duplicate
+    assert deduped.groupBy("facility_id", "ts").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_e2e_file_replay(spark, tmp_path_factory, event_lines):
+    """availableNow file-source replay → snapshot (foreachBatch merge) +
+    windowed sums (memory sink) — asserts end-state equals the batch
+    goldens computed from the same lines."""
+    src = str(tmp_path_factory.mktemp("replay"))
+    n_files = replay.write_replay_chunks(event_lines, src, events_per_file=150)
+    assert n_files > 1
+
+    stream = replay.file_replay_stream(spark, src)
+    parsed = ingest.parse_events(stream)
+    fac = ingest.facility_branch(parsed)
+
+    state: dict = {}
+    q = (
+        fac.writeStream.outputMode("append")
+        .foreachBatch(snapshot.merge_snapshot_batch(state, "facility_id"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt1")))
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = state["df"]
+
+    # golden: batch latest-per-key over the same lines
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    golden = snapshot.latest_snapshot_batch(
+        ingest.facility_branch(ingest.parse_events(raw)), "facility_id"
+    )
+    g = {r.facility_id: (r.power_mw, r.co2_tonnes) for r in golden.collect()}
+    s = {r.facility_id: (r.power_mw, r.co2_tonnes) for r in snap.collect()}
+    assert s == g
+
+    # windowed sums: streaming (update mode, memory sink) vs batch
+    stream2 = replay.file_replay_stream(spark, src)
+    fac2 = ingest.facility_branch(ingest.parse_events(stream2))
+    win = windows.tumbling_window_sums(fac2, "facility_id", ["power_mw"])
+    q2 = (
+        win.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt2")))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.sql("select * from win_sink")
+    want = windows.tumbling_window_sums(
+        ingest.facility_branch(ingest.parse_events(raw)), "facility_id", ["power_mw"]
+    )
+    assert got.count() == want.count()
+    assert got.join(want, ["bucket", "facility_id", "sum_power_mw"], "inner").count() == want.count()
+
+
+def test_totals_timeseries_horizon(spark, parsed_batch):
+    fac = ingest.facility_branch(parsed_batch)
+    ts = windows.totals_timeseries(fac, ["power_mw", "co2_tonnes"], horizon_minutes=60)
+    rows = ts.collect()
+    # 60-min horizon over 5-min buckets anchored at max ts → ≤ 13 buckets
+    assert 1 <= len(rows) <= 13
+    assert rows == sorted(rows, key=lambda r: r.bucket)
