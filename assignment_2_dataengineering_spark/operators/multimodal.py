@@ -1,0 +1,167 @@
+"""Multimodal columns: opaque `binary` payloads + typed metadata.
+
+The reference pipeline is tabular/stream-only (no media ops), but a
+training-data engine at 100 TB carries images/audio/video alongside
+text. The design here:
+
+- media payloads are **opaque BinaryType columns**; everything the
+  planner needs (format, dimensions, frame geometry, sample rate) lives
+  in a typed `media` StructType column, so filters/partitioning/pruning
+  run JVM-side without touching the bytes;
+- structure-aware slicing (frame sampling, chunking) is pure Catalyst —
+  `sequence` + `posexplode` + binary `substring` — so it scales at scan
+  speed with zero Python;
+- content-aware steps (decode, feature extraction, resize) run as
+  Arrow-batched pandas plumbing (`mapInPandas` / `pandas_udf`): one
+  Python worker per partition, whole Arrow record batches, never
+  row-at-a-time.
+
+Real codec libraries (PIL, soundfile, av) are NOT available in this
+container, so `decode_payload` is an explicit seam: the deterministic
+`raw` format decodes to its own bytes; real formats raise
+NotImplementedError until a codec is plugged in. The Spark-side schema,
+batching, and UDF signatures are real and oracle-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+    ]
+)
+
+FRAME_BYTES = 8  # fixture frame geometry: ≤5 frames × 8 B fits every doc
+
+
+def as_media_table(docs: DataFrame, fmt: str = "raw") -> DataFrame:
+    """Derive a deterministic media table from `documents`: the UTF-8
+    bytes of `text` become the opaque payload, and synthetic-but-stable
+    geometry (keyed off doc_id) fills the metadata struct. In production
+    this is `spark.read.format("binaryFile")` plus a header probe; here
+    the derivation keeps the oracle computable.
+
+    Payload bytes are opaque to every downstream operator — nothing
+    below assumes they are text.
+    """
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(fmt).alias("format"),
+            (d % 8 + 8).cast("int").alias("width"),
+            (d % 4 + 4).cast("int").alias("height"),
+            (d % 5 + 1).cast("int").alias("n_frames"),
+            F.lit(FRAME_BYTES).alias("frame_bytes"),
+            F.lit(16_000).alias("sample_rate_hz"),
+        ).alias("media"),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling (audio chunking is the identical op with
+    frame_bytes = samples-per-chunk × bytes-per-sample): keep every
+    n-th frame as its own row with the frame's byte slice.
+
+    Entirely JVM-side — `sequence` builds the kept indices,
+    `posexplode` fans out rows, binary `substring` slices the payload.
+    No shuffle, no Python: at 100 TB this runs at scan speed and the
+    explode multiplies rows before any exchange."""
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("media.n_frames") - 1, F.lit(every_n))
+    ).alias("frame_idx")
+    fb = F.col("media.frame_bytes")
+    frame = F.expr("substring(payload, frame_idx * media.frame_bytes + 1, media.frame_bytes)")
+    return (
+        media.select("doc_id", "payload", "media", idx)
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            frame.alias("frame"),
+        )
+        .withColumn("frame_len", F.length("frame"))
+    )
+
+
+def decode_payload(fmt: str, payload: bytes) -> np.ndarray:
+    """THE decode seam. `raw` → the bytes themselves (deterministic
+    fake used by tests/oracles). Real formats need codec libs absent
+    from this container — they raise rather than silently fake."""
+    if fmt == "raw":
+        return np.frombuffer(payload, dtype=np.uint8)
+    raise NotImplementedError(
+        f"decode for format {fmt!r} requires a codec library (PIL/soundfile/av) "
+        "not present in this environment; plug one in via decode_payload"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Content features via `mapInPandas`: decode each payload (seam
+    above) and reduce to scalar features. Arrow moves whole record
+    batches; numpy reduces vectorized — the per-partition loop is over
+    Arrow batches, not rows. Partition count, not row count, bounds the
+    Python-call overhead at scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fmts = pdf["media"].map(lambda m: m["format"])
+            arrs = [decode_payload(f, p) for f, p in zip(fmts, pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [a.size for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "byte_mean": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+@F.pandas_udf(T.BinaryType())
+def _resize_cycle(payload: pd.Series, out_n: pd.Series) -> pd.Series:
+    """Deterministic stand-in for image resample: cycle the source
+    bytes to the target size (out[i] = in[i mod n]). A real resize
+    swaps the body for PIL/cv2 — the Arrow-batched binary→binary
+    signature is the part that matters for the engine."""
+    out = []
+    for p, n in zip(payload, out_n):
+        a = np.frombuffer(p, dtype=np.uint8)
+        n = int(n)
+        reps = int(np.ceil(n / max(a.size, 1)))
+        out.append(np.tile(a, reps)[:n].tobytes() if a.size else b"")
+    return pd.Series(out)
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Resize every payload to its metadata target (width × height
+    bytes): vectorized pandas UDF over binary columns. The target size
+    is computed JVM-side; only the byte transform crosses into Python."""
+    out_n = (F.col("media.width") * F.col("media.height")).cast("int")
+    return media.withColumn("resized", _resize_cycle("payload", out_n)).withColumn(
+        "resized_len", F.length("resized")
+    )

@@ -1,0 +1,135 @@
+"""Multimodal-column queries: binary payloads + typed metadata over the
+`documents` table (operators.multimodal). The payload derivation is
+deterministic (UTF-8 bytes of ASCII text), so every byte-level result
+has an exact DuckDB oracle expressed over codepoints — while the Spark
+side exercises the real media plumbing: BinaryType columns, struct
+metadata, JVM frame slicing, Arrow-batched pandas decode/resize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.as_media_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           'raw' AS format,
+           CAST(doc_id % 8 + 8 AS INT) AS width,
+           CAST(doc_id % 4 + 4 AS INT) AS height,
+           CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+           CAST(length(text) AS INT) AS payload_bytes
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over an opaque binary column: the
+    planner-visible side of a media table. Selecting struct fields +
+    length(binary) never touches payload contents — column pruning
+    keeps the scan narrow even though payloads dominate the bytes."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("media.format").alias("format"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.n_frames").alias("n_frames"),
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(frame_idx * 8 + 1 AS INT), 8)) AS INT) AS frame_len,
+           substring(text, CAST(frame_idx * 8 + 1 AS INT), 8) AS frame_text
+    FROM (
+      SELECT doc_id, text, unnest(range(0, doc_id % 5 + 1, 2)) AS frame_idx
+      FROM documents
+    )
+    """,
+    tags=("multimodal",),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling (operators.multimodal.sample_frames):
+    sequence + posexplode + binary substring, all JVM-side. frame_text
+    decodes the slice only for oracle comparability — production keeps
+    frames binary."""
+    frames = MM.sample_frames(_media(spark, sf_dir), every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame_len").cast("int").alias("frame_len"),
+        F.decode("frame", "UTF-8").alias("frame_text"),
+    )
+
+
+@register(
+    "q_media_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST(list_aggregate(
+                 list_transform(range(length(text)),
+                                i -> ord(substring(text, CAST(i AS INT) + 1, 1))),
+                 'sum') AS BIGINT) AS byte_sum,
+           list_aggregate(
+                 list_transform(range(length(text)),
+                                i -> ord(substring(text, CAST(i AS INT) + 1, 1))),
+                 'sum') * 1.0 / length(text) AS byte_mean
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + scalar feature extraction through the Arrow-batched
+    mapInPandas path (operators.multimodal.extract_features): byte
+    count/sum/mean per payload via the decode seam. The oracle recomputes
+    the same reduction over codepoints (payload bytes == ASCII codes)."""
+    return MM.extract_features(_media(spark, sf_dir))
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 8 + 8) * (doc_id % 4 + 4) AS INT) AS resized_len,
+           CAST(list_aggregate(
+                 list_transform(range((doc_id % 8 + 8) * (doc_id % 4 + 4)),
+                                i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))),
+                 'sum') AS BIGINT) AS resized_byte_sum
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize to the metadata target via the vectorized binary→binary
+    pandas UDF, then re-reduce the output bytes through the feature
+    path — exercising both Arrow directions (JVM→Python payloads in,
+    Python→JVM payloads out). Oracle: cyclic-extension byte sum."""
+    resized = MM.resize_images(_media(spark, sf_dir))
+    out = MM.extract_features(
+        resized.select(
+            "doc_id",
+            F.col("resized").alias("payload"),
+            "media",
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").alias("resized_len"),
+        F.col("byte_sum").alias("resized_byte_sum"),
+    )

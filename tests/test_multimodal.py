@@ -1,0 +1,94 @@
+"""Multimodal-column plumbing: binary payloads, struct metadata, JVM
+frame slicing, Arrow-batched decode/feature/resize, and the decode seam
+contract (real formats raise until a codec is plugged in)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from assignment_2_dataengineering_spark.operators import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    return MM.as_media_table(load_table(spark, SF, "documents")).cache()
+
+
+def test_media_schema_is_binary_plus_struct(media):
+    fields = dict(media.dtypes)
+    assert fields["payload"] == "binary"
+    assert fields["media"].startswith("struct<format:string,width:int")
+
+
+def test_payload_is_opaque_bytes(media):
+    row = media.select("doc_id", "payload").first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert len(row.payload) > 0
+
+
+def test_frame_sample_geometry(media):
+    frames = MM.sample_frames(media, every_n=2).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    metas = {r.doc_id: r for r in media.select("doc_id", "media.n_frames").collect()}
+    for doc_id, rs in by_doc.items():
+        want_idx = list(range(0, metas[doc_id].n_frames, 2))
+        assert sorted(r.frame_idx for r in rs) == want_idx
+        for r in rs:
+            assert r.frame_len == MM.FRAME_BYTES  # all docs ≥ 48 B, slices full
+            assert isinstance(r.frame, (bytes, bytearray))
+
+
+def test_frames_are_payload_slices(media):
+    doc = media.first()
+    frames = {
+        r.frame_idx: bytes(r.frame)
+        for r in MM.sample_frames(media.limit(1), every_n=1).collect()
+    }
+    payload = bytes(doc.payload)
+    fb = MM.FRAME_BYTES
+    for idx, frame in frames.items():
+        assert frame == payload[idx * fb : (idx + 1) * fb]
+
+
+def test_extract_features_matches_numpy(media):
+    got = {r.doc_id: r for r in MM.extract_features(media).collect()}
+    for r in media.select("doc_id", "payload").collect():
+        a = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+        assert got[r.doc_id].n_bytes == a.size
+        assert got[r.doc_id].byte_sum == int(a.sum())
+        assert abs(got[r.doc_id].byte_mean - float(a.mean())) < 1e-9
+
+
+def test_resize_cycles_bytes_to_target(media):
+    out = MM.resize_images(media)
+    rows = out.select("doc_id", "payload", "resized", "media.width", "media.height").collect()
+    for r in rows:
+        n = r.width * r.height
+        assert len(r.resized) == n
+        src = bytes(r.payload)
+        want = (src * (n // len(src) + 1))[:n]
+        assert bytes(r.resized) == want
+
+
+def test_decode_seam_raises_for_real_formats(spark):
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload("jpeg", b"\xff\xd8\xff")
+    # and through the Spark plumbing: a jpeg-tagged table fails at decode
+    jpeg = MM.as_media_table(load_table(spark, SF, "documents").limit(2), fmt="jpeg")
+    with pytest.raises(Exception):
+        MM.extract_features(jpeg).collect()
+
+
+def test_feature_schema_stable(media):
+    assert MM.extract_features(media).schema == MM.FEATURE_SCHEMA
