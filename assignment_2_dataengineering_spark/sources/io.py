@@ -1,0 +1,68 @@
+"""File sinks & scans (SURVEY.md §2.1 S5-S7) with the engine's storage
+conventions.
+
+The reference persists three artifact kinds: JSON batch files, the
+facility-lookup CSV (arrays JSON-encoded into cells, extractor.py:109),
+and the wide cache CSV. The engine keeps all three formats readable and
+writable for compatibility, but its canonical store is **Parquet, long
+format, partitioned by event date**: columnar encoding subsumes the
+reference's pivot-as-compression trick (report p.5, −75%) and date
+partitions give partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_parquet_by_day(df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite") -> None:
+    """Canonical fact sink: Parquet partitioned by derived event date.
+    Readers filtering on `event_date` prune partitions before any I/O;
+    within files, min/max stats + dictionary encoding do the rest."""
+    df.withColumn("event_date", F.to_date(F.col(ts_col))).write.partitionBy(
+        "event_date"
+    ).mode(mode).parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: JSON lines sink (raw landings, quarantine, event replays)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S5 scan. Schema is mandatory: inference is a dev convenience the
+    engine does not rely on (SURVEY.md §1.3)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv_with_array_codec(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 compatibility CSV sink: array columns JSON-encode into cells
+    exactly like the reference's lookup CSV (extractor.py:109) so its
+    consumers can read the engine's output byte-compatibly."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype.startswith("array"):
+            out = out.withColumn(name, F.to_json(F.col(name)))
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv_with_array_codec(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S7 scan undoing the codec: declared array fields parse back from
+    their JSON cells (dashboard.py:249's read path)."""
+    flat_fields = [
+        T.StructField(f.name, T.StringType() if isinstance(f.dataType, T.ArrayType) else f.dataType)
+        for f in schema.fields
+    ]
+    df = spark.read.schema(T.StructType(flat_fields)).option("header", True).csv(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+    return df

@@ -240,3 +240,79 @@ def event_stream(seed: int = 45) -> list[str]:
                 )
             )
     return lines
+
+
+def facility_api_responses(readings: list[dict], batch_size: int = 25) -> list[dict]:
+    """B9: the OE facility endpoint's nested response shape (power +
+    emissions metric blocks, per-unit series, [ts, value] pairs) built
+    from the long fixture readings — one response doc per unit batch.
+    Values are stringified: JSON numbers arrive as strings under the
+    all-string pair schema (sources.extract.RESPONSE_SCHEMA)."""
+    by_unit: dict[str, list[dict]] = {}
+    for r in readings:
+        by_unit.setdefault(r["unit_code"], []).append(r)
+    units = sorted(by_unit)
+    out = []
+    for b in range(0, len(units), batch_size):
+        batch = units[b : b + batch_size]
+        power_results, emis_results = [], []
+        for u in batch:
+            rows = by_unit[u]
+            power_results.append(
+                {
+                    "name": f"power_{u}",
+                    "columns": {"unit_code": u},
+                    "data": [[r["timestamp"], repr(r["power"])] for r in rows],
+                }
+            )
+            emis_results.append(
+                {
+                    "name": f"emissions_{u}",
+                    "columns": {"unit_code": u},
+                    "data": [[r["timestamp"], repr(r["emission"])] for r in rows],
+                }
+            )
+        out.append(
+            {
+                "data": [
+                    {"metric": "power", "results": power_results},
+                    {"metric": "emissions", "results": emis_results},
+                ]
+            }
+        )
+    return out
+
+
+def market_api_response(market: list[dict]) -> dict:
+    """B10: the OE market endpoint's shape — region codes only in the
+    prefixed series names (price_NSW1), no columns struct."""
+    by_region: dict[str, list[dict]] = {}
+    for r in market:
+        by_region.setdefault(r["region_code"], []).append(r)
+    regions = sorted(by_region)
+    return {
+        "data": [
+            {
+                "metric": "price",
+                "results": [
+                    {
+                        "name": f"price_{reg}",
+                        "columns": None,
+                        "data": [[r["timestamp"], repr(r["price"])] for r in by_region[reg]],
+                    }
+                    for reg in regions
+                ],
+            },
+            {
+                "metric": "demand",
+                "results": [
+                    {
+                        "name": f"demand_{reg}",
+                        "columns": None,
+                        "data": [[r["timestamp"], repr(r["demand"])] for r in by_region[reg]],
+                    }
+                    for reg in regions
+                ],
+            },
+        ]
+    }
