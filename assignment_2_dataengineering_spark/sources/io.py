@@ -30,6 +30,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed Parquet table for shuffle-free co-located joins.
+
+    Two fact tables bucketed (and sorted) on the same join key with the
+    same bucket count join with NO exchange on either side — at 100 TB
+    that deletes the dominant cost of repeated fact-fact joins; the
+    shuffle is paid once at write time instead of per query. Bucketing
+    requires the catalog (saveAsTable); pass `path` for an external
+    table."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols).sortBy(
+        *bucket_cols
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: JSON lines sink (raw landings, quarantine, event replays)."""
     df.write.mode(mode).json(path)

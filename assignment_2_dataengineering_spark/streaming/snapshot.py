@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def latest_snapshot_batch(events: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
@@ -99,6 +100,73 @@ def merge_snapshot_batch(state: dict[str, DataFrame], key: str):
         ).localCheckpoint(eager=True)
 
     return apply
+
+
+def stateful_latest_snapshot(
+    events: DataFrame,
+    key: str,
+    measures: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T4 as a custom stateful operator: `applyInPandasWithState` holds
+    one (last_ts, *measures) tuple per key in the state store and merges
+    each micro-batch by event time with field-level backfill — the exact
+    `{**prev, **validated}` semantics (dashboard.py:364-365), but
+    distributed: state is partitioned by key across executors, bounded
+    by key cardinality, and checkpointed with the query.
+
+    Prefer `streaming_latest_snapshot` (plain agg, Catalyst-optimized)
+    when field-merge isn't needed; this is the extension point for
+    state logic an aggregate can't express (conditional merges,
+    per-field TTLs, change detection)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("last_ts", T.TimestampType()),
+            *[T.StructField(m, T.DoubleType()) for m in measures],
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts_us", T.LongType()),
+            *[T.StructField(m, T.DoubleType()) for m in measures],
+        ]
+    )
+
+    def merge(key_tuple, pdfs, state: GroupState):
+        prev = state.get if state.exists else None
+        last_us = prev[0] if prev else None
+        vals = list(prev[1:]) if prev else [None] * len(measures)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                us = int(row[ts_col].value // 1_000)  # ns → µs
+                newer = last_us is None or us >= last_us
+                for i, m in enumerate(measures):
+                    v = row[m]
+                    if pd.isna(v):
+                        continue  # field-merge: missing field keeps old value
+                    if newer or vals[i] is None:
+                        vals[i] = float(v)
+                if newer:
+                    last_us = us
+        state.update((last_us, *vals))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                **{m: [vals[i]] for i, m in enumerate(measures)},
+            }
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        merge, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
 
 def enrichment_upsert_batch(dim_state: dict[str, DataFrame], fetch_missing):

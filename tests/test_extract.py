@@ -112,6 +112,33 @@ def test_csv_array_codec_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Same-key same-count bucketed tables must join with zero Exchange:
+    the write-time shuffle replaces every query-time shuffle."""
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    IO.write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, str(tmp_path / "b_li"))
+    IO.write_bucketed(orders, "b_orders", ["o_orderkey"], 8, str(tmp_path / "b_ord"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_parquet_by_day_partitions_and_prunes(spark, tmp_path):
     df = spark.range(0, 96).select(
         F.col("id"),

@@ -127,6 +127,41 @@ def test_streaming_e2e_file_replay(spark, tmp_path_factory, event_lines):
     assert got.join(want, ["bucket", "facility_id", "sum_power_mw"], "inner").count() == want.count()
 
 
+def test_stateful_snapshot_applyinpandas(spark, tmp_path_factory, event_lines):
+    """applyInPandasWithState latest-per-key: end state must equal the
+    batch golden (same semantics as the foreachBatch merge, but state
+    lives in Spark's checkpointed store instead of a driver table)."""
+    src = str(tmp_path_factory.mktemp("replay_st"))
+    replay.write_replay_chunks(event_lines, src, events_per_file=150)
+    stream = replay.file_replay_stream(spark, src)
+    fac = ingest.facility_branch(ingest.parse_events(stream)).select(
+        "facility_id", "ts", "power_mw", "co2_tonnes"
+    )
+    snap = snapshot.stateful_latest_snapshot(fac, "facility_id", ["power_mw", "co2_tonnes"])
+    q = (
+        snap.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_st")))
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode memory sink appends every emission; latest row per key wins
+    got = spark.sql(
+        """select facility_id, power_mw, co2_tonnes from (
+             select *, row_number() over (partition by facility_id order by last_ts desc) rn
+             from state_sink) where rn = 1"""
+    )
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    golden = snapshot.latest_snapshot_batch(
+        ingest.facility_branch(ingest.parse_events(raw)), "facility_id"
+    )
+    g = {r.facility_id: (r.power_mw, r.co2_tonnes) for r in golden.collect()}
+    s = {r.facility_id: (r.power_mw, r.co2_tonnes) for r in got.collect()}
+    assert s == g
+
+
 def test_totals_timeseries_horizon(spark, parsed_batch):
     fac = ingest.facility_branch(parsed_batch)
     ts = windows.totals_timeseries(fac, ["power_mw", "co2_tonnes"], horizon_minutes=60)
