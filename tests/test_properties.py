@@ -1,0 +1,150 @@
+"""Property-based invariants (hypothesis) for the operator library:
+randomized inputs, model-checked semantics. Complements the DuckDB
+oracle (fixed data, exact SQL) with adversarial data shapes — unicode,
+duplicates, ties, empty strings, near-identical docs.
+
+Spark jobs are slow per-example, so strategies run few, large examples:
+each hypothesis case builds one DataFrame and checks the whole
+invariant set on it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.operators import dedup as DD
+from assignment_2_dataengineering_spark.operators import relational as REL
+from assignment_2_dataengineering_spark.operators.reshape import pivot_wide, unpivot_long
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, docs):
+    """Exact dedup groups partition the corpus: copy counts sum to the
+    corpus size, group sizes match the normalized-text histogram, and
+    each keep_id is the min id of its group."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    groups = DD.exact_dedup_groups(df).collect()
+    assert sum(g.n_copies for g in groups) == len(docs)
+    from collections import Counter, defaultdict
+
+    norm = [" ".join(t.split()) for t in docs]  # words are lowercase alnum
+    by_norm = Counter(norm)
+    assert sorted(g.n_copies for g in groups) == sorted(by_norm.values())
+    min_id = defaultdict(lambda: 1 << 60)
+    for i, t in enumerate(norm):
+        min_id[t] = min(min_id[t], i)
+    assert sorted(g.keep_id for g in groups) == sorted(min_id.values())
+
+
+@given(
+    docs=st.lists(st.lists(words, min_size=3, max_size=12).map(" ".join), min_size=2, max_size=20),
+    seed=st.integers(0, 10),
+)
+@settings(**SETTINGS)
+def test_lsh_candidates_subset_of_jaccard_universe(spark, docs, seed):
+    """MinHash-LSH pairs are (a) ordered (id_a<id_b), (b) true positives
+    only (jaccard ≥ threshold — the exact-verify step), and (c) complete
+    for identical docs (identical shingle sets collide in every band)."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.3, seed=seed).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert all(r.id_a < r.id_b for r in out)
+    assert all(r.jaccard >= 0.3 for r in out)
+    n = len(docs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if docs[i] == docs[j]:  # ≥3 words → non-empty shingle set
+                assert (i, j) in pairs
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_latest_per_key_matches_python_model(spark, rows):
+    """latest_per_key == python max-by-(ts, tiebreak) per key, even
+    with duplicate timestamps (deterministic tiebreak on value)."""
+    df = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rows], "k string, ts int, v int"
+    )
+    got = {r.k: (r.ts, r.v) for r in REL.latest_per_key(df, ["k"], "ts", tiebreak=["v"]).collect()}
+    model: dict = {}
+    for k, ts, v in rows:
+        if k not in model or (ts, v) > model[k]:
+            model[k] = (ts, v)
+    assert got == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("xyz"), st.floats(-10, 10)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_pivot_unpivot_roundtrip_property(spark, rows):
+    """pivot(first) → unpivot → drop-null recovers exactly the distinct
+    (index, code, value) triples (first-wins on duplicates)."""
+    first: dict = {}
+    for ts, code, v in rows:
+        first.setdefault((ts, code), round(v, 3))
+    df = spark.createDataFrame(
+        [(ts, code, v) for (ts, code), v in first.items()], "ts int, code string, val double"
+    )
+    wide = pivot_wide(df, ["ts"], "code", ["val"], agg="first")
+    val_cols = [c for c in wide.columns if c != "ts"]
+    back = (
+        unpivot_long(wide, ["ts"], val_cols, "m", "val")
+        .filter(F.col("val").isNotNull())
+        .select("ts", F.expr("substring(m, 5)").alias("code"), "val")
+    )
+    got = {(r.ts, r.code): r.val for r in back.collect()}
+    assert got == first
+
+
+@given(data=st.data())
+@settings(**SETTINGS)
+def test_topk_per_key_bounds_and_order(spark, data):
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from("pq"), st.integers(-50, 50)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    k = data.draw(st.integers(1, 5))
+    df = spark.createDataFrame(rows, "key string, v int")
+    out = REL.topk_per_key(df, ["key"], [F.col("v").desc()], k).collect()
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in out:
+        by_key[r.key].append(r.v)
+    model = defaultdict(list)
+    for key, v in rows:
+        model[key].append(v)
+    for key, vs in model.items():
+        assert sorted(by_key[key], reverse=True) == sorted(vs, reverse=True)[:k]
