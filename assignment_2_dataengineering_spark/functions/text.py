@@ -46,7 +46,14 @@ def token_count_regex(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string>; [] when the doc is shorter
     than n words. Basis for Jaccard / MinHash dedup (operators.dedup)."""
-    w = tokens_ws(text)
+    return shingles_from_tokens(tokens_ws(text), n)
+
+
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Shingles over an existing token-array column. Prefer this with a
+    materialized token column when the expression fans out (every
+    reference to `w` re-evaluates its defining expression in an inlined
+    projection — see operators.dedup._with_shingle_set)."""
     # transform over a 0-based index sequence; element_at is 1-based.
     # CaseWhen evaluates lazily per row, so the sequence/element_at branch
     # never runs for short docs.

@@ -85,20 +85,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def _with_shingle_set(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, __sh) with the distinct-shingle array MATERIALIZED once per
+    row. The explode(array(x)) wrapper is a deliberate Generate barrier:
+    CollapseProject cannot inline through Generate, so downstream
+    expressions referencing __sh (32 minhash scans, band hashes) reuse
+    one computed array instead of each rebuilding it — and rebuilding it
+    re-splits the text per element_at, which measured ~100 s instead of
+    ~3 s for the banding pass at sf0.1. Never drops rows: the outer
+    1-element array is never empty even when the shingle set is."""
+    from ..functions.text import shingles_from_tokens, tokens_ws
+
+    toks = df.select(F.col(id_col), F.explode(F.array(tokens_ws(F.col(text_col)))).alias("__w"))
+    sh = F.array_distinct(shingles_from_tokens(F.col("__w"), n))
+    return toks.select(F.col(id_col), F.explode(F.array(sh)).alias("__sh"))
+
+
+def _minhash_exprs(num_hashes: int, seed: int, sh=None):
+    """One minhash expression per hash function over a (materialized)
+    shingle-array column. Reference each expr exactly once: wrapping
+    them in an array column and extracting with element_at inlines a
+    full copy of the array construction per extraction — a silent
+    num_hashes× re-evaluation."""
+    sh = F.col("__sh") if sh is None else sh
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc: minhash_i = min over shingles of
-    xxhash64(seed, i, shingle). Computed with array exprs (no explode, no
-    shuffle): one narrow pass over the corpus."""
-    sh = F.array_distinct(shingles(F.col(text_col), n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    xxhash64(seed, i, shingle). Narrow plan (no shuffle): shingle set
+    materialized once per row, then num_hashes vectorized scans."""
+    shd = _with_shingle_set(df, text_col, id_col, n)
+    mh = _minhash_exprs(num_hashes, seed)
+    return shd.select(
+        F.col(id_col), F.array(*mh).alias("sig"), F.size("__sh").alias("n_shingles")
     )
-    return df.select(F.col(id_col), sig.alias("sig"), F.size(sh).alias("n_shingles"))
+
+
+def bucket_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(band, bucket, id) rows → distinct candidate id pairs, WITHOUT a
+    bucket self-join: group each (band, bucket), emit pairs from the
+    member list with a higher-order transform. One shuffle, the
+    (potentially expensive) bucketing expression evaluated once, and
+    per-bucket fan-out bounded by bucket size — the skew knob at 100 TB
+    is a bucket-size cap on `ids`. A self-join would evaluate the
+    signature tree on BOTH sides and double-compile the giant codegen
+    expression — measured >200 s vs ~5 s at sf0.1."""
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        # Skew guard: a degenerate bucket (stop-shingle, zero vector)
+        # produces O(size²) pairs. Truncating to the max_bucket_size
+        # smallest ids keeps fan-out bounded and deterministic; the
+        # recall loss is confined to the degenerate bucket.
+        members = members.withColumn(
+            "ids", F.slice(F.array_sort("ids"), 1, max_bucket_size)
+        ).filter(F.size("ids") >= 2)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -119,36 +187,45 @@ def minhash_lsh_pairs(
     (recall, not precision, is what LSH trades away).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    # band hashes straight from the per-hash minhash exprs (each
+    # referenced once — see _minhash_exprs for why not element_at(sig))
+    # over the once-materialized shingle set (_with_shingle_set).
+    shd = _with_shingle_set(df, text_col, id_col, n)
+    mh = _minhash_exprs(num_hashes, seed)
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias("bucket"),
+                F.xxhash64(*mh[b * rows : (b + 1) * rows]).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+    buckets = shd.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    candidates = bucket_pairs(buckets, id_col)
+    # Verify ONLY the candidates: join each pair to its two shingle
+    # sets and compute exact Jaccard with array_intersect. Verifying
+    # via the full inverted-index self-join (ngram_jaccard_pairs at
+    # threshold 0) would score every pair in the corpus and erase
+    # LSH's entire complexity win — at sf0.1 that's the difference
+    # between ~3 s and ~200 s, and at 100 TB between feasible and not.
+    doc_sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0).select(
-        "id_a", "id_b", "jaccard"
-    )
+    a_sh = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, F.round(F.col("shared") / union, 4)).otherwise(F.lit(0.0)),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

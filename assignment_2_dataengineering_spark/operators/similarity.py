@@ -120,11 +120,18 @@ def embedding_near_dupes(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup modality #5):
     LSH-bucketed candidate pairs verified by exact cosine ≥ threshold."""
+    from .dedup import bucket_pairs
+
     rows = n_planes // bands
+    # Materialize the sign-bit array once per row (Generate barrier —
+    # CollapseProject would otherwise inline one full hyperplane-fold
+    # tree per element_at, an n_planes× re-evaluation; see
+    # dedup._with_shingle_set for the measured cost of that pattern).
     sig = vectors.select(
         F.col(id_col),
-        F.col(vec_col),
-        hyperplane_sign_bits(F.col(vec_col), dim, n_planes, seed).alias("__bits"),
+        F.explode(
+            F.array(hyperplane_sign_bits(F.col(vec_col), dim, n_planes, seed))
+        ).alias("__bits"),
     )
     band_arr = F.array(
         *[
@@ -135,25 +142,17 @@ def embedding_near_dupes(
             for b in range(bands)
         ]
     )
-    bk = sig.select(F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("bb")).select(
-        id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    bk = sig.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = bk.alias("a")
-    b = bk.alias("b")
+    # candidate pairs without a self-join (see dedup.bucket_pairs), then
+    # exact-cosine verification on candidates only
+    cand = bucket_pairs(bk, id_col)
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
-        )
-        .distinct()
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

@@ -93,6 +93,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal",),
+    bench=True,  # Arrow-batch throughput belongs in the headline set
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + scalar feature extraction through the Arrow-batched

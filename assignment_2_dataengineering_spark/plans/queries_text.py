@@ -176,6 +176,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_lsh",
     oracle=None,  # randomized banding → rows-only driver check; invariants in tests/test_dedup.py
     tags=("dedup",),
+    bench=True,  # the near-dup scale path belongs in the headline set
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes)+LSH(8 bands) candidate pairs verified with

@@ -1,0 +1,110 @@
+"""Dashboard analytics library: filters, scalar tiles, legend, marker
+scaling — computed over snapshot frames built from the fixture stream,
+checked against hand-computed values. Plus the J8 fallback-enrichment
+upsert closure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.plans import dashboard as DB
+from assignment_2_dataengineering_spark.plans import nem_etl
+from assignment_2_dataengineering_spark.schemas import FUELTECH_SCHEMA
+from assignment_2_dataengineering_spark.streaming import ingest, snapshot
+from tests.fixtures import nem
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame([(l,) for l in nem.event_stream()], "value string")
+    parsed = ingest.parse_events(raw)
+    facs = nem_etl.load_facilities_json(spark, nem.facilities_raw())
+    fuel = spark.createDataFrame(nem.fueltech_map(), FUELTECH_SCHEMA)
+    lookup = nem_etl.flatten_facilities(facs, fuel)
+    fac_snap = snapshot.latest_snapshot_batch(
+        ingest.facility_branch(parsed), "facility_id"
+    ).join(F.broadcast(lookup), "facility_id", "inner")
+    mkt_snap = snapshot.latest_snapshot_batch(ingest.market_branch(parsed), "region_id")
+    return {"fac": fac_snap.cache(), "mkt": mkt_snap.cache(), "lookup": lookup}
+
+
+def test_filter_snapshot_region_and_fuel(frames):
+    fac = frames["fac"]
+    only_nsw = DB.filter_snapshot(fac, regions=["NSW1"])
+    assert only_nsw.count() > 0
+    assert {r.region for r in only_nsw.collect()} == {"NSW1"}
+    hydro = DB.filter_snapshot(fac, fuels=["Hydro"])
+    for r in hydro.collect():
+        assert "Hydro" in r.fuel_tech
+    assert DB.filter_snapshot(fac).count() == fac.count()
+
+
+def test_facility_metrics_sums_snapshot(frames):
+    fac = frames["fac"]
+    row = DB.facility_metrics(fac).collect()[0]
+    rows = fac.collect()
+    assert row.n_facilities == len(rows)
+    assert abs(row.total_power_mw - round(sum(r.power_mw for r in rows), 4)) < 1e-6
+    assert abs(row.total_co2_tonnes - round(sum(r.co2_tonnes for r in rows), 4)) < 1e-6
+    # modal last_ts with min tie-break
+    from collections import Counter
+
+    c = Counter(r.last_ts for r in rows)
+    best = min([t for t, n in c.items() if n == max(c.values())])
+    assert row.last_updated == best
+
+
+def test_market_metrics_handles_empty(frames, spark):
+    mkt = frames["mkt"]
+    row = DB.market_metrics(mkt).collect()[0]
+    rows = mkt.collect()
+    assert abs(row.avg_price_dmwh - round(sum(r.price_dmwh for r in rows) / len(rows), 4)) < 1e-6
+    empty = DB.market_metrics(mkt.filter(F.lit(False)))
+    r0 = empty.collect()[0]
+    assert r0.avg_price_dmwh == 0.0 and r0.total_demand_mw == 0.0  # NaN guard
+
+
+def test_fuel_legend_sorted_distinct(frames):
+    fuels = DB.fuel_legend(frames["lookup"]).collect()[0].fuels
+    assert fuels == sorted(set(fuels))
+    assert "-" not in fuels
+
+
+def test_marker_sizes_bounded(frames):
+    out = DB.marker_sizes(frames["fac"]).collect()
+    for r in out:
+        assert 12.0 <= r.marker_px <= 36.0 + 1e-9
+    assert max(r.marker_px for r in out) == 36.0  # p95-clipped rows hit the cap
+
+
+def test_enrichment_upsert_batch_appends_misses(spark, frames):
+    """J8: unknown keys fetched from the fallback source exactly once,
+    appended insert-if-absent; known keys never re-fetched."""
+    lookup = frames["lookup"].select("facility_id", "facility_name")
+    dim_state = {"df": lookup}
+    fetched_keys: list[str] = []
+
+    def fetch_missing(keys_df):
+        keys = [r.facility_id for r in keys_df.collect()]
+        fetched_keys.extend(keys)
+        if not keys:
+            return None
+        return spark.createDataFrame(
+            [(k, f"fetched {k}") for k in keys], "facility_id string, facility_name string"
+        )
+
+    batch = spark.createDataFrame(
+        [("FAC000",), ("UNKNOWN9",), ("UNKNOWN9",), ("NEW1",)], "facility_id string"
+    )
+    apply = snapshot.enrichment_upsert_batch(dim_state, fetch_missing)
+    apply(batch, 0)
+    assert sorted(fetched_keys) == ["NEW1", "UNKNOWN9"]  # known key not fetched
+    dim = dim_state["df"]
+    assert dim.filter(F.col("facility_id") == "UNKNOWN9").count() == 1
+    assert dim.filter(F.col("facility_id") == "NEW1").count() == 1
+    assert dim.count() == lookup.count() + 2
+    # idempotent: a second batch with the same keys fetches nothing new is
+    # NOT guaranteed (dim grew), but the insert stays if-absent
+    apply(batch, 1)
+    assert dim_state["df"].filter(F.col("facility_id") == "UNKNOWN9").count() == 1
