@@ -243,7 +243,7 @@ def event_stream(seed: int = 45) -> list[str]:
 
 
 def facility_api_responses(readings: list[dict], batch_size: int = 25) -> list[dict]:
-    """B9: the OE facility endpoint's nested response shape (power +
+    """B10: the OE facility endpoint's nested response shape (power +
     emissions metric blocks, per-unit series, [ts, value] pairs) built
     from the long fixture readings — one response doc per unit batch.
     Values are stringified: JSON numbers arrive as strings under the
