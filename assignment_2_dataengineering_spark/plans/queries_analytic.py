@@ -1,0 +1,71 @@
+"""Analytic extensions beyond the reference's surface (SURVEY.md §2.5
+notes the reference has no ranking/frame window functions and §2.7 no
+grouping sets): ranking, offset, and frame windows over the events
+stream, and rollup aggregation over lineitem. A real engine's users
+expect these; they compile to the same shuffle-then-local-sort shapes
+the §2 operators already pay for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "q_analytic_window",
+    oracle="""
+    SELECT event_id, user_id, value,
+           row_number() OVER w AS rn,
+           lag(value) OVER w AS prev_value,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def q_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking (row_number), offset (lag), and sliding-frame (3-row
+    moving average) windows per user: one hash exchange on user_id, one
+    local sort, all three functions evaluated in a single Window node.
+    The event_id tie-break makes results deterministic."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mavg3"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (flag → flag+status → grand total) in one
+    pass: Spark expands grouping sets map-side, so the shuffle carries
+    each partial once per grouping set — no second scan per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )

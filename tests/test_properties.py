@@ -125,6 +125,21 @@ def test_pivot_unpivot_roundtrip_property(spark, rows):
     assert got == first
 
 
+def test_bucket_pairs_skew_cap(spark):
+    """The max_bucket_size skew guard bounds per-bucket fan-out to the
+    smallest ids, deterministically, without touching healthy buckets."""
+    rows = [("0", 0, i) for i in range(20)] + [("0", 1, i) for i in (5, 7)]
+    df = spark.createDataFrame(rows, "band string, bucket int, doc_id int")
+    uncapped = DD.bucket_pairs(df, "doc_id")
+    # (5,7) appears in both buckets; cross-band distinct dedups it
+    assert uncapped.count() == 20 * 19 // 2
+    capped = DD.bucket_pairs(df, "doc_id", max_bucket_size=4)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    from itertools import combinations
+
+    assert got == set(combinations(range(4), 2)) | {(5, 7)}
+
+
 @given(data=st.data())
 @settings(**SETTINGS)
 def test_topk_per_key_bounds_and_order(spark, data):
