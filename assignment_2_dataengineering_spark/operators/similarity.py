@@ -15,6 +15,8 @@ Embedding cosine is also the 5th dedup modality (embedding_near_dupes).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -156,4 +158,134 @@ def embedding_near_dupes(
         .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: trained coarse quantizer + probed search
+# ---------------------------------------------------------------------------
+
+
+def _centroid_kernels(centroids: list[list[float]]):
+    """Vectorized assignment kernels for a (small, broadcast-in-closure)
+    centroid matrix. K-means assignment is a dense (batch × dim) @
+    (dim × k) matmul — the one place in this module where a literal
+    Catalyst expression tree (k × dim literal nodes, re-planned per
+    call) loses badly to an Arrow-batched numpy kernel: 81 s → ~2 s
+    per training run at sf0.1. Returns (assign, probe_cells(nprobe))
+    pandas UDFs; both deterministic."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)
+
+    def _dists(vs: pd.Series) -> np.ndarray:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return (V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T) + c2[None, :]
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        return pd.Series(_dists(vs).argmin(1).astype("int32"))
+
+    def probe_cells(nprobe: int):
+        @F.pandas_udf("array<int>")
+        def probe(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="object")
+            order = np.argsort(_dists(vs), axis=1, kind="stable")[:, :nprobe]
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return probe
+
+    return assign, probe_cells
+
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Scale shape: centroids live on the driver (k × dim floats — tiny)
+    and enter the plan as broadcast literals; each iteration is one
+    narrow assign pass + one groupBy(cid, dim) shuffle of per-dimension
+    partial sums. At 100 TB you train on a sample (`sample_fraction`,
+    seeded) — quantizer quality needs thousands of points, not the
+    corpus. Empty clusters keep their previous centroid.
+
+    Init is the k lowest-id vectors: deterministic across runs and
+    executors (kmeans++ would need a seeded sequential scan; stability
+    is worth more here than init quality at these k)."""
+    train = vectors
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=42)
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in train.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = init
+    for _ in range(iters):
+        assign, _ = _centroid_kernels(centroids)
+        assigned = train.select(
+            assign(F.col(vec_col)).alias("cid"),
+            F.posexplode(vec_col).alias("d", "x"),
+        )
+        sums = (
+            assigned.groupBy("cid", "d")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cid, [0.0] * dim)[r.d] = r.s
+            cnt[r.cid] = r.n
+        centroids = [
+            [acc[c][d] / cnt[c] for d in range(dim)] if c in cnt else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: corpus partitioned by nearest centroid (one narrow
+    assign pass — in production this is the *write-time* layout:
+    partitionBy(cid) parquet, so a probe prunes partitions); each query
+    scores only the `nprobe` nearest cells. Exact cosine re-rank within
+    candidates, same contract as brute_force_topk. Recall is tunable
+    via nprobe; nprobe == len(centroids) degenerates to brute force."""
+    assign, probe_maker = _centroid_kernels(centroids)
+    c_assigned = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("__cv"),
+        assign(F.col(vec_col)).alias("cid"),
+    )
+    q_assigned = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_maker(nprobe)(F.col(vec_col))).alias("cid"),
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", "cos_sim")
     )

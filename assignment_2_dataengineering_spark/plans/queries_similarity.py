@@ -92,3 +92,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     result set."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dupes(emb, threshold=0.45)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # iterative k-means training → rows-only; recall + degeneracy invariants in tests/test_ivf.py
+    tags=("similarity",),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (16 cells, 5 iterations), corpus partitioned by cell, queries probe
+    their 4 nearest cells, exact cosine re-rank within candidates. The
+    production layout writes the corpus partitionBy(cell) so probes
+    prune partitions before I/O (SCALE.md §6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(emb, k=16, iters=5)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(q, emb, cents, k=10, nprobe=4)
