@@ -60,7 +60,10 @@ def rate_paced_replay(spark: SparkSession, replay: DataFrame, events_per_second:
     (publisher.py:27, BASELINE.md)."""
     indexed = replay.withColumn(
         "__idx", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
-    )
+    ).localCheckpoint(eager=True)
+    # eager localCheckpoint: the analyzer rejects nondeterministic exprs
+    # (monotonically_increasing_id) anywhere in a streaming plan, and the
+    # replay index must be assigned once, not per micro-batch re-plan
     rate = spark.readStream.format("rate").option("rowsPerSecond", events_per_second).load()
     return rate.join(F.broadcast(indexed), rate["value"] == indexed["__idx"], "inner").drop(
         "__idx", "timestamp", "value"

@@ -213,6 +213,48 @@ def test_dashboard_pipeline_end_to_end(spark, tmp_path_factory, event_lines):
     )
 
 
+def test_rate_paced_replay_emits_in_index_order(spark, event_lines):
+    """T1 true-pacing variant: the rate source joined to the indexed
+    replay table emits exactly the replay rows, paced by rowsPerSecond."""
+    lines = event_lines[:40]
+    tbl = spark.createDataFrame([(l,) for l in lines], "payload string")
+    stream = replay.rate_paced_replay(spark, tbl, events_per_second=200)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_sink")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    while _t.time() < deadline:
+        if spark.sql("select count(*) n from rate_sink").first().n >= len(lines):
+            break
+        _t.sleep(0.5)
+    q.stop()
+    got = [r.payload for r in spark.sql("select payload from rate_sink").collect()]
+    assert sorted(got) == sorted(lines)
+
+
+def test_mqtt_sink_requires_paho(monkeypatch):
+    """S8 gating: constructing the MQTT sink without paho-mqtt raises at
+    plan time, not inside executors."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_paho(name, *a, **kw):
+        if name.startswith("paho"):
+            raise ImportError("paho not installed")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_paho)
+    with pytest.raises(ImportError, match="paho-mqtt is required"):
+        replay.MqttForeachSink("broker.example", 1883, "topic/x")
+
+
 def test_totals_timeseries_horizon(spark, parsed_batch):
     fac = ingest.facility_branch(parsed_batch)
     ts = windows.totals_timeseries(fac, ["power_mw", "co2_tonnes"], horizon_minutes=60)
