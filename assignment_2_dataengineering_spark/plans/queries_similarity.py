@@ -66,14 +66,15 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_lsh",
-    oracle=None,  # approximate candidates → rows-only; recall vs brute force asserted in tests
+    oracle=None,  # approximate candidates → rows-only; recall ≥ 0.6 vs brute force asserted in tests/test_dedup.py
     tags=("similarity",),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (16 planes, 4 bands)
+    """Approximate top-10 via random-hyperplane LSH (24 planes, 8 bands)
     + exact rerank — the scale path when the query side is also huge:
     candidates come from bucket-co-partitioned joins instead of a cross
-    product. Recall against q_ann_bruteforce is asserted in tests."""
+    product. Recall ≥ 0.6 against q_ann_bruteforce is asserted in
+    tests/test_dedup.py::test_lsh_topk_recall_vs_bruteforce."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return SIM.lsh_topk(queries, emb, k=_TOP_K)
@@ -81,12 +82,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_embedding",
-    oracle=None,  # LSH candidate generation → rows-only; subset-of-bruteforce asserted in tests
+    oracle=None,  # LSH candidate generation → rows-only; subset-of-bruteforce asserted in tests/test_dedup.py
     tags=("dedup", "similarity"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
-    verified by exact cosine — dedup modality #5. Production near-dup
+    verified by exact cosine — dedup modality #5. Output ⊆ brute-force
+    pairs at the same threshold, asserted in tests/test_dedup.py::
+    test_embedding_near_dupes_subset_of_bruteforce. Production near-dup
     threshold would be ~0.9; the synthetic corpus's max pairwise cosine
     is ~0.51, so the query uses 0.45 to produce a non-empty, checkable
     result set."""

@@ -192,7 +192,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 8 via 4-block pigeonhole
-    banding (complete for distance ≤ 3 blocks-different); exact Hamming
-    verification on candidates."""
+    """SimHash-64 near-dup pairs at Hamming ≤ 8 via 9-block pigeonhole
+    banding (blocks = max_hamming + 1, so candidate generation is
+    complete for distance ≤ 8); exact Hamming verification on candidates
+    only. Completeness vs brute-force pairwise Hamming is pinned in
+    tests/test_dedup.py."""
     return DD.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=8)

@@ -1,0 +1,188 @@
+"""Invariant tests for the approximate dedup / similarity operators —
+the verification layer the oracle can't provide (randomized banding and
+LSH candidate generation aren't SQL-expressible in DuckDB because they
+depend on Spark's xxhash64):
+
+- simhash_pairs: output == brute-force pairwise Hamming ≤ max_hamming
+  (candidate generation is COMPLETE with blocks = max_hamming + 1), and
+  the baked corpus contains pairs the old 4×16-bit block scheme provably
+  missed — a regression pin on the pigeonhole bound.
+- lsh_topk: recall ≥ 0.6 against brute_force_topk on the sf0.001
+  embeddings (cited by plans/queries_similarity.py q_ann_lsh).
+- embedding_near_dupes: output ⊆ brute-force cosine pairs at the same
+  threshold, no false positives (cited by q_dedup_embedding).
+- minhash_lsh_pairs: output ⊆ exact ngram_jaccard_pairs at the same
+  threshold with identical jaccard values (cited by plans/queries_text.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.operators import dedup as DD
+from assignment_2_dataengineering_spark.operators import similarity as SIM
+from assignment_2_dataengineering_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _simhash_corpus() -> list[str]:
+    """12 base docs of 30 words + 3 light mutations each (1-3 word
+    replacements) — deterministic, and dense in the Hamming 1-12 range
+    where the banding guarantee actually gets exercised."""
+    rng = random.Random(7)
+    docs = []
+    for _ in range(12):
+        base = [rng.choice(_VOCAB) for _ in range(30)]
+        docs.append(" ".join(base))
+        for k in (1, 2, 3):
+            toks = list(base)
+            for _ in range(k):
+                toks[rng.randrange(len(toks))] = rng.choice(_VOCAB)
+            docs.append(" ".join(toks))
+    return docs
+
+
+def _hamming(a: list[int], b: list[int]) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """simhash_pairs == exact pairwise Hamming ≤ max_hamming: banding
+    with blocks = max_hamming + 1 loses nothing (pigeonhole), and the
+    exact verify adds nothing false."""
+    docs = _simhash_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    bits = {r.doc_id: list(r.simhash_bits) for r in DD.simhash64(df).collect()}
+    n = len(docs)
+    exact = {
+        (i, j): _hamming(bits[i], bits[j])
+        for i in range(n)
+        for j in range(i + 1, n)
+        if _hamming(bits[i], bits[j]) <= 8
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(df, max_hamming=8).collect()}
+    assert got == exact
+    assert len(exact) > 50  # non-degenerate corpus
+
+    # Regression pin: the corpus contains distance-4..8 pairs whose
+    # differing bits span all four 16-bit blocks of the OLD blocks=4
+    # scheme — pairs that scheme provably dropped. The new default
+    # (9 blocks) must report them; `got == exact` above proves it does.
+    def legacy_shares_block(a, b):
+        return any(a[k * 16 : (k + 1) * 16] == b[k * 16 : (k + 1) * 16] for k in range(4))
+
+    legacy_missed = [
+        p for p, d in exact.items() if 4 <= d <= 8 and not legacy_shares_block(bits[p[0]], bits[p[1]])
+    ]
+    assert len(legacy_missed) >= 10
+
+
+def test_simhash_pairs_rejects_unsound_blocks(spark):
+    """blocks ≤ max_hamming would silently violate the completeness
+    contract — the operator refuses instead."""
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs(df, max_hamming=8, blocks=4)
+
+
+def test_simhash_pairs_skew_cap_passthrough(spark):
+    """max_bucket_size routes to bucket_pairs: a degenerate corpus of
+    identical docs (every bucket holds all ids) stays bounded to the
+    capped smallest-id prefix instead of O(n²) pairs."""
+    docs = [(i, "alpha beta gamma") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = DD.simhash_pairs(df, max_hamming=8, max_bucket_size=4).collect()
+    from itertools import combinations
+
+    assert {(r.id_a, r.id_b) for r in capped} == set(combinations(range(4), 2))
+    assert all(r.hamming == 0 for r in capped)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH top-k recall (cited at plans/queries_similarity.py q_ann_lsh)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """lsh_topk (16 planes, 4 bands) recall ≥ 0.6 against the exact
+    brute-force top-10 on the sf0.001 embeddings, and never invents a
+    neighbor: every (query, match) it returns scores the exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(queries, emb, k=10).collect()
+    approx = SIM.lsh_topk(queries, emb, k=10).collect()
+    exact_set = {(r.query_id, r.match_id) for r in exact}
+    approx_set = {(r.query_id, r.match_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6"
+    # cos_sim values on the intersection are the exact scores
+    exact_cos = {(r.query_id, r.match_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.match_id) in exact_cos:
+            assert abs(r.cos_sim - exact_cos[(r.query_id, r.match_id)]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup subset (cited at queries_similarity.py q_dedup_embedding)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_near_dupes_subset_of_bruteforce(spark, sf_dir):
+    """embedding_near_dupes output ⊆ brute-force cosine pairs at the
+    same threshold (LSH trades recall, never precision — the exact
+    verify guarantees no false positives), with cos_sim matching numpy
+    to rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.embedding_near_dupes(emb, threshold=0.45).collect()
+    assert out, "threshold 0.45 should yield candidates on sf0.001"
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = [r.vec_id for r in rows]
+    N = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = N @ N.T
+    idx = {v: i for i, v in enumerate(ids)}
+    brute = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if C[idx[min(a, b)], idx[max(a, b)]] >= 0.45 - 1e-6
+    }
+    brute = {(min(a, b), max(a, b)) for a, b in brute}
+    for r in out:
+        assert r.id_a < r.id_b
+        assert r.cos_sim >= 0.45
+        assert (r.id_a, r.id_b) in brute
+        assert abs(r.cos_sim - C[idx[r.id_a], idx[r.id_b]]) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH ⊆ exact Jaccard (cited in plans/queries_text.py module doc)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark, sf_dir):
+    """On the real sf0.001 documents table: minhash_lsh_pairs ⊆
+    ngram_jaccard_pairs at the same threshold, with identical jaccard
+    per pair (both run the same exact-verify math)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    lsh = DD.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert lsh, "sf0.001 documents should contain near-dup pairs"
+    for r in lsh:
+        assert (r.id_a, r.id_b) in exact
+        assert r.jaccard == exact[(r.id_a, r.id_b)]
