@@ -99,8 +99,12 @@ def run_dashboard_pipeline(
         .start()
     )
 
-    fac2 = ingest.facility_branch(ingest.parse_events(raw_stream))
-    win = windows.tumbling_window_sums(fac2, "facility_id", ["power_mw", "co2_tonnes"])
+    # Same enriched + deduped stream as the snapshot branch: under QoS-1
+    # at-least-once delivery a separately-parsed branch would double-count
+    # exactly the re-deliveries the snapshot suppresses.
+    win = windows.tumbling_window_sums(
+        fac, "facility_id", ["power_mw", "co2_tonnes"], watermark=None
+    )
     q3 = (
         win.writeStream.outputMode("append")
         .format("memory")

@@ -10,13 +10,17 @@ equivalents, in order of fidelity vs practicality:
   no external broker. This is what the e2e tests use.
 - rate source join: readStream.format("rate") rows joined by index to a
   broadcast replay table — true pacing via rowsPerSecond.
-- real broker: Kafka source/sink is first-party; MQTT via a paho
-  foreach sink (gated import — paho is not a baked-in dependency).
+- real broker: Kafka source/sink is first-party; MQTT egress via a paho
+  foreach sink (MqttForeachSink) and MQTT ingress via MqttFileBridge
+  (paho subscriber → JSONL chunk files → file_replay_stream, giving the
+  push-callback broker a replayable, checkpointable offset story). Both
+  are gated imports — paho is not a baked-in dependency.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -65,9 +69,32 @@ def rate_paced_replay(spark: SparkSession, replay: DataFrame, events_per_second:
     # (monotonically_increasing_id) anywhere in a streaming plan, and the
     # replay index must be assigned once, not per micro-batch re-plan
     rate = spark.readStream.format("rate").option("rowsPerSecond", events_per_second).load()
+    # drop the rate source's columns BY REFERENCE: a replay table may
+    # itself carry a `timestamp` or `value` column, which a by-name drop
+    # would silently take with it
     return rate.join(F.broadcast(indexed), rate["value"] == indexed["__idx"], "inner").drop(
-        "__idx", "timestamp", "value"
+        rate["timestamp"], rate["value"], indexed["__idx"]
     )
+
+
+def _require_paho() -> None:
+    try:
+        import paho.mqtt.client  # noqa: F401
+    except ImportError as e:  # pragma: no cover - paho not baked in
+        raise ImportError("paho-mqtt is required for MQTT sources/sinks") from e
+
+
+def make_paho_client():
+    """Version-adaptive paho client construction: paho-mqtt ≥ 2.0 raises
+    VersionMismatchError on the no-arg constructor (the reference pins
+    CallbackAPIVersion.VERSION2, dashboard.py:418), paho 1.x has no
+    CallbackAPIVersion at all — support both."""
+    import paho.mqtt.client as mqtt
+
+    try:
+        return mqtt.Client(mqtt.CallbackAPIVersion.VERSION2)  # paho >= 2.0
+    except AttributeError:  # paho 1.x
+        return mqtt.Client()
 
 
 class MqttForeachSink:
@@ -79,16 +106,11 @@ class MqttForeachSink:
     """
 
     def __init__(self, broker: str, port: int, topic: str, qos: int = 1):
-        try:
-            import paho.mqtt.client  # noqa: F401
-        except ImportError as e:  # pragma: no cover - paho not baked in
-            raise ImportError("paho-mqtt is required for MqttForeachSink") from e
+        _require_paho()
         self.broker, self.port, self.topic, self.qos = broker, port, topic, qos
 
     def open(self, partition_id: int, epoch_id: int) -> bool:  # pragma: no cover
-        import paho.mqtt.client as mqtt
-
-        self._client = mqtt.Client()
+        self._client = make_paho_client()
         self._client.connect(self.broker, self.port)
         self._client.loop_start()
         return True
@@ -99,3 +121,80 @@ class MqttForeachSink:
     def close(self, error) -> None:  # pragma: no cover
         self._client.loop_stop()
         self._client.disconnect()
+
+
+class MqttFileBridge:
+    """S9: MQTT subscribe source, as a broker → file-source bridge.
+
+    The reference's dashboard is a raw paho subscriber feeding in-memory
+    deques (dashboard.py:418-445). Spark's streaming sources need
+    replayable offsets, which a push callback can't provide — so the
+    ingress path is: paho subscriber (this class, driver-side or a
+    sidecar process) appends received payloads to JSONL chunk files with
+    strictly increasing mtimes, and `file_replay_stream` over the same
+    directory turns them into a checkpointable stream. At-least-once
+    from QoS-1 composes with `windows.dedup_events` downstream into
+    effective exactly-once — stronger than the reference, which loses
+    its buffer on restart.
+
+    `client_factory` is injectable for broker-less tests; the default
+    builds a real (version-adaptive) paho client. Gated import like
+    MqttForeachSink: constructing without paho raises at plan time.
+    """
+
+    def __init__(
+        self,
+        broker: str,
+        port: int,
+        topic: str,
+        out_dir: str,
+        qos: int = 1,
+        flush_every: int = 100,
+        client_factory=None,
+    ):
+        if client_factory is None:
+            _require_paho()
+            client_factory = make_paho_client
+        self.broker, self.port, self.topic, self.qos = broker, port, topic, qos
+        self.out_dir, self.flush_every = out_dir, flush_every
+        self._client_factory = client_factory
+        self._buf: list[str] = []
+        self._lock = threading.Lock()
+        self._n = 0
+        self._base = int(time.time()) - 86_400
+        os.makedirs(out_dir, exist_ok=True)
+
+    # paho on_message signature is identical in the v1 and v2 callback APIs
+    def _on_message(self, client, userdata, msg) -> None:
+        with self._lock:
+            self._buf.append(msg.payload.decode("utf-8"))
+            if len(self._buf) >= self.flush_every:
+                self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._buf:
+            return
+        path = os.path.join(self.out_dir, f"mqtt-{self._n:06d}.jsonl")
+        with open(path, "w") as f:
+            f.write("\n".join(self._buf) + "\n")
+        # strictly increasing mtimes: FileStreamSource orders by mtime
+        # (same contract as write_replay_chunks)
+        os.utime(path, (self._base + self._n, self._base + self._n))
+        self._n += 1
+        self._buf = []
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def start(self) -> None:
+        self._client = self._client_factory()
+        self._client.on_message = self._on_message
+        self._client.connect(self.broker, self.port)
+        self._client.subscribe(self.topic, qos=self.qos)
+        self._client.loop_start()
+
+    def stop(self) -> None:
+        self._client.loop_stop()
+        self._client.disconnect()
+        self.flush()

@@ -29,14 +29,17 @@ def tumbling_window_sums(
     key: str,
     measures: list[str],
     window: str = "5 minutes",
-    watermark: str = "60 minutes",
+    watermark: str | None = "60 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
     """T5/A3: per-key 5-minute tumbling sums. Streaming: watermarked
     (late events beyond 60 min dropped — the reference trusts order and
     would silently miscount, SURVEY.md §7.4 item 2); batch: same code
-    without watermark, windows computed over all data."""
-    if events.isStreaming:
+    without watermark, windows computed over all data. Pass
+    watermark=None when the stream is already watermarked upstream
+    (e.g. after dedup_events — Spark disallows redefining it across
+    chained stateful operators)."""
+    if events.isStreaming and watermark:
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window).alias("w"), F.col(key))
