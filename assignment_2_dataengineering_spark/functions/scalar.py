@@ -43,6 +43,16 @@ def marker_size(value: Column, p95: Column) -> Column:
     return F.lit(12.0) + F.lit(24.0) * F.sqrt(clipped)
 
 
+def format_metric(value: Column, unit: str = "MW", threshold: float = 1000.0) -> Column:
+    """F11: conditional metric label (dashboard.py:589-597) — comma
+    thousands separators, 1 decimal below `threshold` in |v|, 0 decimals
+    at or above, plus the unit suffix. format_number is the JVM-side
+    `f"{v:,.Nf}"`; both round half-even on doubles."""
+    v = F.coalesce(value.try_cast("double"), F.lit(0.0))
+    label = F.when(F.abs(v) < threshold, F.format_number(v, 1)).otherwise(F.format_number(v, 0))
+    return F.concat(label, F.lit(f" {unit}"))
+
+
 def ellipsize(col: Column, max_len: int = 23) -> Column:
     """F12: truncate long names with an ellipsis (dashboard.py:599-601)."""
     return F.when(F.length(col) > max_len, F.concat(F.substring(col, 1, max_len), F.lit("…"))).otherwise(col)

@@ -178,13 +178,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     band → bucket-join (explode bands, groupBy (band, band_hash)) keeps
     candidate generation linear-ish; candidates are then verified against
     the exact shingle Jaccard so output pairs are true positives only
-    (recall, not precision, is what LSH trades away).
+    (recall, not precision, is what LSH trades away). `max_bucket_size`
+    is the skew guard (bucket_pairs): a degenerate bucket — empty docs,
+    a boilerplate shingle set — otherwise goes O(n²); the production
+    default at corpus scale should set it (the synthetic-corpus
+    no-op equivalence is pinned in tests/test_dedup.py).
     """
     rows = num_hashes // bands
     # band hashes straight from the per-hash minhash exprs (each
@@ -204,7 +209,7 @@ def minhash_lsh_pairs(
     buckets = shd.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    candidates = bucket_pairs(buckets, id_col)
+    candidates = bucket_pairs(buckets, id_col, max_bucket_size)
     # Verify ONLY the candidates: join each pair to its two shingle
     # sets and compute exact Jaccard with array_intersect. Verifying
     # via the full inverted-index self-join (ngram_jaccard_pairs at

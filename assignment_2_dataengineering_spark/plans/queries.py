@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import scalar as SC
 from ..operators import relational as R
 from ..operators import reshape
 from ..sources.tables import load_table
@@ -678,6 +679,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
     """,
     tags=("reshape",),
+    bench=True,  # 180k-row stack: the wide->long reshape path
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-inverse unpivot wide→long (publisher melts the wide cache back
@@ -709,14 +711,21 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat_ws('|', p_brand, p_type)                  AS brand_type,
            round(sqrt(p_retailprice), 4)                    AS sqrt_price,
            least(p_size, 25)                                AS size_capped,
-           greatest(CAST(p_size AS INTEGER), 10)            AS size_floored
+           greatest(CAST(p_size AS INTEGER), 10)            AS size_floored,
+           CASE WHEN abs(p_retailprice) < 1000
+                THEN printf('%.1f', CAST(p_retailprice AS DOUBLE))
+                ELSE format('{:,}', CAST(printf('%.0f', CAST(p_retailprice AS DOUBLE)) AS BIGINT))
+           END || ' MW'                                     AS price_label
     FROM part
     """,
     tags=("scalar",),
 )
 def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F9/F12 string+math scalar surface (prefix strip, concat,
-    sqrt/clip, substring) — all whole-stage-codegen expressions."""
+    """F1/F2/F9/F11/F12 string+math scalar surface (prefix strip, concat,
+    sqrt/clip, substring, conditional metric formatting) — all
+    whole-stage-codegen expressions. The F11 oracle mirrors
+    format_number's half-even rounding with printf and adds thousands
+    separators integer-side (DuckDB's float format lacks them)."""
     p = T(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -728,6 +737,7 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
         F.least("p_size", F.lit(25)).alias("size_capped"),
         F.greatest("p_size", F.lit(10)).alias("size_floored"),
+        SC.format_metric(F.col("p_retailprice")).alias("price_label"),
     )
 
 

@@ -28,6 +28,7 @@ from .registry import register
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("window",),
+    bench=True,  # the ranking/lag/frame window path in the headline set
 )
 def q_analytic_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking (row_number), offset (lag), and sliding-frame (3-row

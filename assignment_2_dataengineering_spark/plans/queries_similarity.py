@@ -101,6 +101,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_ivf",
     oracle=None,  # iterative k-means training → rows-only; recall + degeneracy invariants in tests/test_ivf.py
     tags=("similarity",),
+    bench=True,  # iterative training + probe path
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic k-means coarse quantizer

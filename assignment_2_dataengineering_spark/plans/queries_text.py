@@ -182,8 +182,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes)+LSH(8 bands) candidate pairs verified with
     exact Jaccard ≥ 0.3. Candidate generation is linear in corpus size —
     the 100 TB dedup path. Output ⊆ q_dedup_ngram_jaccard by
-    construction (verified in tests)."""
-    return DD.minhash_lsh_pairs(T(spark, sf_dir, "documents"), threshold=0.3)
+    construction (tests/test_dedup.py). max_bucket_size=512 is the
+    production skew cap — a no-op on healthy buckets (equivalence
+    pinned in tests/test_dedup.py), a hard fan-out bound on degenerate
+    ones."""
+    return DD.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.3, max_bucket_size=512
+    )
 
 
 @register(

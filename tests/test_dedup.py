@@ -186,3 +186,51 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, sf_dir):
     for r in lsh:
         assert (r.id_a, r.id_b) in exact
         assert r.jaccard == exact[(r.id_a, r.id_b)]
+
+
+# ---------------------------------------------------------------------------
+# Production cap defaults: no-ops on the healthy synthetic corpus
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bucket_cap_is_noop_on_healthy_corpus(spark, sf_dir):
+    """The registered query's max_bucket_size=512 production skew cap
+    changes NOTHING on the synthetic corpus (no degenerate buckets) —
+    recall loss only ever happens inside a pathological bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=512).collect()
+    }
+    assert capped == uncapped and uncapped
+
+
+def test_ngram_doc_freq_cap_semantics(spark, sf_dir):
+    """max_doc_freq (the O(df²) fan-out guard): a cap at/above the
+    corpus's max shingle document frequency is a no-op; a tight cap
+    yields a subset (precision kept — dropped shingles only lower
+    jaccard numerators, never invent pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = (
+        DD.shingle_index(docs)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+        .m
+    )
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=max_df).collect()
+    }
+    assert loose == uncapped and uncapped
+    tight = DD.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=2).collect()
+    assert {(r.id_a, r.id_b) for r in tight} <= set(uncapped)
