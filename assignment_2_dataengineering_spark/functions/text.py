@@ -112,6 +112,28 @@ def langid_best(text: Column, threshold: float = 0.08) -> Column:
     return F.when(best["score"] >= threshold, best["lang"]).otherwise(F.lit("und"))
 
 
+# URL / email signals (C4-style filters count them; this corpus has
+# none, which the oracle verifies as exact zeros).
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total — the
+    Gopher/C4 boilerplate-and-loop signal. 0.0 for docs shorter than n
+    words."""
+    grams = shingles(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"), 4)
+    )
+
+
+def pattern_count(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex in the text (URL/email/PII counting)."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum to
     space, squeeze runs, trim."""

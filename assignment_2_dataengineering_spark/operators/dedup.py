@@ -236,6 +236,62 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = min id in the component; singletons label themselves.
+    The step every dedup pipeline needs after pair generation: pairs
+    (A,B),(B,C) must collapse to ONE keeper, not two independent drops.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors'; converges in ≤ graph
+    diameter rounds (near-dup components are shallow — chains of
+    transitive duplicates, not long paths). Each round is one join +
+    one groupBy on the edge list; labels are localCheckpointed to cut
+    lineage, and the driver-side convergence count is the loop
+    control — same justified pattern as IVF training (SCALE.md §7).
+    At web scale with adversarial diameters, swap in the
+    large-star/small-star contraction (Kiveris et al.); the interface
+    is unchanged.
+    """
+    und = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = ids.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__label"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["__id"])
+            .groupBy(F.col("dst"))
+            .agg(F.min("__label").alias("__nbr"))
+            .select(F.col("dst").alias("__nid"), "__nbr")
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["__id"] == nbr_min["__nid"], "left")
+            .select(
+                F.col("__id"),
+                F.least(F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))).alias(
+                    "__label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("__label", "__new")
+            .join(labels, "__id")
+            .filter(F.col("__new") != F.col("__label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("__id").alias(id_col), F.col("__label").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit position, sum ±1
     across token hashes; sign → bit.

@@ -1,0 +1,114 @@
+"""Temporal operators Spark's DataFrame API lacks as primitives:
+as-of join and sessionization — both expressed as single-shuffle
+window plans, never as range cross-joins.
+
+These are engine extensions (no reference analog): the reference's
+dashboard implicitly "as-ofs" by holding latest state in a dict;
+a pipeline that backfills or attributes needs the set-based form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts ≤ left_ts per key (backward as-of, inclusive — DuckDB /
+    pandas.merge_asof semantics).
+
+    Plan shape — the 100 TB-safe one: UNION the two sides tagged, one
+    shuffle on the key, one ordered window pass carrying each right
+    payload forward with last(ignorenulls). No range predicate ever
+    reaches a join: a naive `l.key = r.key AND r.ts <= l.ts` +
+    row_number plan explodes to |L|·|R| per key before pruning, which
+    at skewed keys is quadratic; this is linear in |L|+|R| per key.
+
+    Ties: a right row at exactly left_ts matches (sorted ahead of the
+    left row); multiple right rows on the same (key, ts) resolve to the
+    window's last — pre-aggregate the right side if that matters.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    out_right = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__t"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__t"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    ).select(*l_tag.columns)  # align column order for unionByName-by-position
+
+    unioned = l_tag.unionByName(r_tag)
+    # right rows (side 0) sort before left rows (side 1) at equal ts →
+    # an exactly-simultaneous right row is visible to the left row
+    w = Window.partitionBy(*on).orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        *[c for c in left.columns],
+        F.col("__side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    events: DataFrame,
+    keys: list[str],
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    per-key gap since the previous event exceeds `gap_minutes`. Returns
+    one row per (keys, session_id) with start/end/duration/event count.
+
+    One shuffle on the key: lag → boundary flag → running sum (the
+    session index) → session agg reuses the same partitioning (no
+    second exchange — the groupBy keys extend the window keys).
+    Streaming analog: `streaming.windows.session_window_sums` (Spark's
+    native session_window with watermark-based closure)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_id",
+        F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy(*keys, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_s",
+            F.col("session_end").cast("long") - F.col("session_start").cast("long"),
+        )
+    )

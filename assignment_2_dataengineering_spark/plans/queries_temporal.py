@@ -1,0 +1,139 @@
+"""Temporal + graph engine extensions over the `events` / `documents`
+tables: as-of join (attribution), sessionization (gaps-and-islands),
+and dedup cluster resolution (connected components over near-dup
+pairs). No reference analog — these are the operators a training-data /
+event-analytics pipeline needs that Spark lacks as primitives, each
+expressed as a shuffle-minimal DataFrame plan with an exact DuckDB
+oracle (ASOF JOIN, window functions, recursive CTE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import temporal as TP
+from ..sources.tables import load_table
+from .registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, round(max(value), 2) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.user_id, p.event_id, p.ts,
+           round(p.value, 2) AS purchase_value,
+           c.click_value     AS last_click_value,
+           c.ts              AS last_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "temporal"),
+    bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase attributed to the user's most
+    recent prior (or simultaneous) click. The union+window merge plan
+    (operators/temporal.py) — one shuffle on user_id, linear per key —
+    against DuckDB's native ASOF LEFT JOIN. Clicks pre-aggregated per
+    (user, ts) so tie resolution is deterministic in both engines."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    out = TP.asof_join(purchases, clicks, ["user_id"], right_cols=["click_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("click_value_right").alias("last_click_value"),
+        F.col("ts_right").alias("last_click_ts"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=("window", "temporal"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) per user:
+    lag → boundary flag → running-sum session index → session agg, all
+    on ONE shuffle (the agg keys extend the window keys, so no second
+    exchange). Streaming analog: session_window_sums
+    (streaming/windows.py) with watermark-based session closure."""
+    ev = T(spark, sf_dir, "events")
+    return TP.sessionize(ev.select("user_id", "ts"), ["user_id"], gap_minutes=30)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    jp AS (SELECT id_a, id_b
+           FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION ALL SELECT id_b, id_a FROM jp),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact 3-gram-Jaccard near-dup
+    pairs: transitive duplicates (A~B, B~C) collapse to one cluster
+    keyed by its min doc_id; singletons label themselves. Iterative
+    min-label propagation (operators/dedup.py dedup_clusters) vs a
+    DuckDB recursive-CTE transitive closure — an exact oracle for an
+    iterative distributed algorithm."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.3)
+    return DD.dedup_clusters(pairs, docs.select("doc_id"))

@@ -128,6 +128,114 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_flags",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, text,
+               CASE WHEN len(w) < 2 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])))
+                               * 1.0 / (len(w) - 1), 4) END AS rep_ratio,
+               len(regexp_extract_all(text, 'https?://[^\\s]+'))  AS n_urls,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+               round(len(list_filter(w, x -> x IN {_STOP_SQL}))
+                     * 1.0 / greatest(len(w), 1), 4) AS sw_ratio,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1), 4) AS punct
+        FROM g
+    )
+    SELECT doc_id, rep_ratio, n_urls, n_emails,
+           CASE WHEN length(text) BETWEEN 50 AND 5000
+                 AND sw_ratio >= 0.05 AND rep_ratio <= 0.5 AND punct <= 0.2
+                THEN 1 ELSE 0 END AS keep
+    FROM sig
+    """,
+    tags=("text",),
+)
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop gate: bigram repetition ratio, URL and
+    email counts, and a composite keep flag over length band, stopword
+    density, repetition, and punctuation noise. Pure codegen — the
+    cheap first-pass filter a 100 TB corpus runs before any model-based
+    scoring. All signals compared on rounded values so the flag's
+    boundary is bit-identical cross-engine."""
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    rep = TX.repetition_ratio(t)
+    sw = F.round(TX.stopword_ratio(t), 4)
+    punct = F.round(TX.punct_ratio(t), 4)
+    n = F.length(t)
+    keep = F.when(
+        n.between(50, 5000) & (sw >= 0.05) & (rep <= 0.5) & (punct <= 0.2), F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        rep.alias("rep_ratio"),
+        TX.pattern_count(t, TX.URL_PATTERN).alias("n_urls"),
+        TX.pattern_count(t, TX.EMAIL_PATTERN).alias("n_emails"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS sample_bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(sample_bucket AS BIGINT) AS sample_bucket
+    FROM b
+    WHERE sample_bucket < CASE lang WHEN 'en' THEN 50 ELSE 20 END
+    """,
+    tags=("text", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus-mixing): keep 50% of
+    English, 20% of every other language, by LCG hash bucket of doc_id —
+    reproducible across runs/partitionings/engines, shuffle-free (a
+    scan predicate). Production swaps the bucket fn for xxhash64;
+    structure unchanged (operators/sampling.py)."""
+    from ..operators import sampling as SMP
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SMP.stratified_sample(
+        d, "lang", {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 20}
+    )
+
+
+@register(
+    "q_token_histogram",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+    tags=("text", "agg"),
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram, top 50 by frequency (vocab sizing /
+    stop-list induction): explode → hash-agg (map-side partial combine
+    carries one row per distinct token per partition) → total-order
+    top-k with deterministic (count desc, token asc) tie-break."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@register(
     "q_dedup_exact",
     oracle="""
     SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,

@@ -52,6 +52,7 @@ def _ensure_loaded() -> None:
     from . import queries_similarity  # noqa: F401
     from . import queries_multimodal  # noqa: F401
     from . import queries_analytic  # noqa: F401
+    from . import queries_temporal  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -48,6 +48,37 @@ def tumbling_window_sums(
     )
 
 
+def session_window_sums(
+    events: DataFrame,
+    key: str,
+    measures: list[str],
+    gap: str = "30 minutes",
+    watermark: str | None = "60 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sessionization, streaming-native: Spark's session_window merges
+    events within `gap` of each other into one growing window per key;
+    the watermark closes a session once no in-order event can extend it.
+    Batch form of the same semantics (with an exact oracle):
+    operators.temporal.sessionize."""
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[F.round(F.sum(m), 4).alias(f"sum_{m}") for m in measures],
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+            *[f"sum_{m}" for m in measures],
+        )
+    )
+
+
 def totals_timeseries(
     events: DataFrame,
     measures: list[str],

@@ -1,0 +1,142 @@
+"""Model-checked invariants for the temporal/graph operators: as-of
+join vs a pandas-merge_asof-style Python model, sessionization vs a
+linear-scan model, connected components vs a known graph, and the
+streaming session_window variant vs its batch recomputation."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.operators import dedup as DD
+from assignment_2_dataengineering_spark.operators import temporal as TP
+from assignment_2_dataengineering_spark.streaming import ingest, replay, windows
+
+
+def test_asof_join_matches_python_model(spark):
+    """asof_join == latest right row with ts <= left ts per key,
+    inclusive ties, null when no prior right row exists."""
+    rng = random.Random(11)
+    keys = ["a", "b", "c"]
+    left = [(k, rng.randrange(0, 100), i) for i, k in enumerate(keys * 8)]
+    right = [(k, rng.randrange(0, 100), 1000 + i) for i, k in enumerate(keys * 6)]
+    # force an exact-tie case and a no-match key
+    left.append(("a", 50, 777))
+    right.append(("a", 50, 2000))
+    left.append(("z", 10, 888))
+    ldf = spark.createDataFrame(left, "k string, ts int, lv int")
+    rdf = spark.createDataFrame(right, "k string, ts int, rv int")
+    out = TP.asof_join(ldf, rdf, ["k"], right_cols=["rv"])
+    got = {(r.k, r.ts, r.lv): (r.rv_right, r.ts_right) for r in out.collect()}
+    assert len(got) == len(left)
+    for k, ts, lv in left:
+        cands = [(rts, rv) for rk, rts, rv in right if rk == k and rts <= ts]
+        if not cands:
+            assert got[(k, ts, lv)] == (None, None)
+        else:
+            best_ts = max(rts for rts, _ in cands)
+            best_rvs = {rv for rts, rv in cands if rts == best_ts}
+            rv, rts = got[(k, ts, lv)]
+            assert rts == best_ts and rv in best_rvs
+
+
+def test_asof_tie_is_inclusive(spark):
+    """A right row at exactly the left timestamp matches (>= semantics,
+    like DuckDB ASOF and pandas.merge_asof)."""
+    ldf = spark.createDataFrame([("a", 10, 1)], "k string, ts int, lv int")
+    rdf = spark.createDataFrame([("a", 10, 99)], "k string, ts int, rv int")
+    row = TP.asof_join(ldf, rdf, ["k"], right_cols=["rv"]).first()
+    assert row.rv_right == 99 and row.ts_right == 10
+
+
+def test_sessionize_matches_python_model(spark):
+    """Session boundaries, counts, and durations equal a linear scan."""
+    rng = random.Random(3)
+    rows = []
+    for u in range(4):
+        t = 0
+        for _ in range(25):
+            t += rng.choice([60, 300, 2000, 4000])  # mix of intra/inter-gap steps
+            rows.append((u, t))
+    df = spark.createDataFrame(rows, "user_id int, ts_s long").select(
+        "user_id", F.timestamp_seconds("ts_s").alias("ts")
+    )
+    out = TP.sessionize(df, ["user_id"], gap_minutes=30)
+    got = {
+        (r.user_id, r.session_id): (
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+            r.duration_s,
+        )
+        for r in out.collect()
+    }
+    model = {}
+    for u in range(4):
+        ts = sorted(t for uu, t in rows if uu == u)
+        sid, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if t - prev > 1800:
+                model[(u, sid)] = (start, prev, n, prev - start)
+                sid, start, n = sid + 1, t, 0
+            n += 1
+            prev = t
+        model[(u, sid)] = (start, prev, n, prev - start)
+    assert got == model
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """(1,2),(2,3) collapse into one cluster labeled 1; disjoint pair
+    and singletons keep their own labels."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(pairs, ids).collect()}
+    want = {i: i for i in range(1, 13)}
+    want.update({2: 1, 3: 1, 11: 10})
+    assert got == want
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 15-node path graph (worst-case diameter for label propagation)
+    still converges to a single min-labeled cluster."""
+    n = 15
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_streaming_session_window_vs_batch(spark, tmp_path_factory):
+    """Streaming session_window (availableNow replay, append mode) emits
+    only watermark-closed sessions, and every emitted session equals the
+    batch recomputation over the same events."""
+    lines = __import__("tests.fixtures.nem", fromlist=["nem"]).event_stream()
+    src = str(tmp_path_factory.mktemp("sess_replay"))
+    replay.write_replay_chunks(lines, src, events_per_file=200)
+    stream = replay.file_replay_stream(spark, src)
+    fac = ingest.facility_branch(ingest.parse_events(stream))
+    sess = windows.session_window_sums(fac, "facility_id", ["power_mw"], gap="6 minutes")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_sess")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_sink")
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    batch = windows.session_window_sums(
+        ingest.facility_branch(ingest.parse_events(raw)), "facility_id", ["power_mw"], gap="6 minutes"
+    )
+    emitted = got.count()
+    assert emitted > 0
+    joined = got.join(
+        batch,
+        ["session_start", "session_end", "facility_id", "n_events", "sum_power_mw"],
+    ).count()
+    assert joined == emitted
