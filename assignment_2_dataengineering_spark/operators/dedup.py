@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingles, shingles_from_tokens, tokens_ws
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -94,22 +94,38 @@ def _with_shingle_set(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
     re-splits the text per element_at, which measured ~100 s instead of
     ~3 s for the banding pass at sf0.1. Never drops rows: the outer
     1-element array is never empty even when the shingle set is."""
-    from ..functions.text import shingles_from_tokens, tokens_ws
-
     toks = df.select(F.col(id_col), F.explode(F.array(tokens_ws(F.col(text_col)))).alias("__w"))
     sh = F.array_distinct(shingles_from_tokens(F.col("__w"), n))
     return toks.select(F.col(id_col), F.explode(F.array(sh)).alias("__sh"))
 
 
-def _minhash_exprs(num_hashes: int, seed: int, sh=None):
-    """One minhash expression per hash function over a (materialized)
-    shingle-array column. Reference each expr exactly once: wrapping
-    them in an array column and extracting with element_at inlines a
-    full copy of the array construction per extraction — a silent
-    num_hashes× re-evaluation."""
-    sh = F.col("__sh") if sh is None else sh
+def _with_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int, seed: int) -> DataFrame:
+    """(id, __hs): the distinct shingle set reduced to an array of
+    64-bit base hashes, materialized once per row behind the same
+    explode(array(x)) Generate barrier as _with_shingle_set.
+
+    Every minhash function then re-hashes these 8-byte longs
+    (xxhash64(i, h)) instead of the full shingle strings — string
+    hashing happens exactly once per shingle instead of num_hashes
+    times (with the candidate-restricted verify and the parallelism
+    knob, the full LSH query measured 4.3 s → 1.9 s at sf0.1). A
+    64-bit base hash collides at ~1e-10 for millions of shingles; the
+    exact-Jaccard verify downstream is immune regardless."""
+    toks = df.select(F.col(id_col), F.explode(F.array(tokens_ws(F.col(text_col)))).alias("__w"))
+    sh = F.array_distinct(shingles_from_tokens(F.col("__w"), n))
+    hs = F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s))
+    return toks.select(F.col(id_col), F.explode(F.array(hs)).alias("__hs"))
+
+
+def _minhash_exprs(num_hashes: int, hs=None):
+    """One minhash expression per hash function over the (materialized)
+    base-hash array: min over xxhash64(i, base_hash). Reference each
+    expr exactly once: wrapping them in an array column and extracting
+    with element_at inlines a full copy of the array construction per
+    extraction — a silent num_hashes× re-evaluation."""
+    hs = F.col("__hs") if hs is None else hs
     return [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)))
+        F.array_min(F.transform(hs, lambda h: F.xxhash64(F.lit(i), h)))
         for i in range(num_hashes)
     ]
 
@@ -118,12 +134,13 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc: minhash_i = min over shingles of
-    xxhash64(seed, i, shingle). Narrow plan (no shuffle): shingle set
-    materialized once per row, then num_hashes vectorized scans."""
-    shd = _with_shingle_set(df, text_col, id_col, n)
-    mh = _minhash_exprs(num_hashes, seed)
+    xxhash64(i, xxhash64(seed, shingle)). Narrow plan (no shuffle):
+    base hashes materialized once per row, then num_hashes integer
+    re-hash scans."""
+    shd = _with_shingle_hashes(df, text_col, id_col, n, seed)
+    mh = _minhash_exprs(num_hashes)
     return shd.select(
-        F.col(id_col), F.array(*mh).alias("sig"), F.size("__sh").alias("n_shingles")
+        F.col(id_col), F.array(*mh).alias("sig"), F.size("__hs").alias("n_shingles")
     )
 
 
@@ -179,6 +196,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -190,13 +208,23 @@ def minhash_lsh_pairs(
     a boilerplate shingle set — otherwise goes O(n²); the production
     default at corpus scale should set it (the synthetic-corpus
     no-op equivalence is pinned in tests/test_dedup.py).
+
+    `parallelism` repartitions the raw docs before the expression-heavy
+    signature stage. The stage is CPU-bound, so its wall time is
+    bounded by the SCAN's partition count — a single small parquet file
+    is one task no matter how many cores exist. At real corpus scale
+    the scan is already thousands of splits and this knob stays None;
+    locally/bench it buys the full core count for one cheap shuffle of
+    (id, text).
     """
+    if parallelism is not None:
+        df = df.repartition(parallelism)
     rows = num_hashes // bands
     # band hashes straight from the per-hash minhash exprs (each
     # referenced once — see _minhash_exprs for why not element_at(sig))
-    # over the once-materialized shingle set (_with_shingle_set).
-    shd = _with_shingle_set(df, text_col, id_col, n)
-    mh = _minhash_exprs(num_hashes, seed)
+    # over the once-materialized base-hash array (_with_shingle_hashes).
+    shd = _with_shingle_hashes(df, text_col, id_col, n, seed)
+    mh = _minhash_exprs(num_hashes)
     band_cols = F.array(
         *[
             F.struct(
@@ -216,7 +244,15 @@ def minhash_lsh_pairs(
     # threshold 0) would score every pair in the corpus and erase
     # LSH's entire complexity win — at sf0.1 that's the difference
     # between ~3 s and ~200 s, and at 100 TB between feasible and not.
-    doc_sh = df.select(
+    # The semi-join restricts the shingle recomputation to docs that
+    # actually appear in a candidate pair (AQE broadcasts the id set
+    # when small), instead of re-shingling the whole corpus.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
     )
     a_sh = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

@@ -293,9 +293,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (tests/test_dedup.py). max_bucket_size=512 is the
     production skew cap — a no-op on healthy buckets (equivalence
     pinned in tests/test_dedup.py), a hard fan-out bound on degenerate
-    ones."""
+    ones. parallelism fans the CPU-bound signature stage out to the
+    session's core count — a single-file local scan is otherwise one
+    task (at corpus scale the scan splits naturally and the knob is
+    moot). Measured 4.3 s → 1.9 s at sf0.1 together with the
+    base-hash-once signature scheme."""
     return DD.minhash_lsh_pairs(
-        T(spark, sf_dir, "documents"), threshold=0.3, max_bucket_size=512
+        T(spark, sf_dir, "documents"),
+        threshold=0.3,
+        max_bucket_size=512,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
