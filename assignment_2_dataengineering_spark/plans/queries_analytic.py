@@ -70,3 +70,51 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus) with the grouping id
+    distinguishing aggregation levels (a NULL group key vs a NULL
+    value) — completes the grouping-sets family next to q_rollup.
+    Same one-pass map-side grouping-set expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines; relative-error bound pinned in tests/test_properties.py
+    tags=("agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++, default
+    5% rsd) next to the exact count — THE distinct-count at 100 TB,
+    where exact countDistinct shuffles every distinct value and HLL
+    ships a 1.5 KB sketch per partition. Cross-engine sketch layouts
+    differ, so the driver check is rows-only; the ≤5%-of-exact error
+    bound is asserted in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -125,6 +125,23 @@ def test_pivot_unpivot_roundtrip_property(spark, rows):
     assert got == first
 
 
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct stays within 5% of the exact distinct
+    count on every event_type group (HLL++ default rsd = 0.05; the
+    registered q_approx_distinct is rows-only at the driver, this is
+    its correctness gate)."""
+    from assignment_2_dataengineering_spark.plans.registry import get_spec
+
+    rows = get_spec("q_approx_distinct").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(0.05 * r.exact_users, 1), (
+            r.event_type,
+            r.approx_users,
+            r.exact_users,
+        )
+
+
 def test_bucket_pairs_skew_cap(spark):
     """The max_bucket_size skew guard bounds per-bucket fan-out to the
     smallest ids, deterministically, without touching healthy buckets."""
