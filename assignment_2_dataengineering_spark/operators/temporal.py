@@ -71,6 +71,39 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Pairs within |left_ts − right_ts| ≤ tolerance (plus optional
+    equality keys): the temporal co-occurrence join.
+
+    Plan shape — binned equi-join, not an inequality join: each side is
+    bucketed to floor(ts / tolerance); a row can only match rows in its
+    own or an adjacent bucket, so the right side explodes into
+    {b−1, b, b+1} and the join is a plain hash equi-join on (keys,
+    bucket) with the exact |Δt| ≤ tol filter after. A raw inequality
+    predicate gives Catalyst nothing to hash on — without keys it is a
+    cartesian product, with keys it is a per-key cross product; binning
+    bounds the fan-out to 3 buckets per row at any scale. Timestamp
+    math is integer microseconds end-to-end (no float boundary
+    wobble). Column names must be disjoint across the two sides."""
+    tol_us = int(tolerance_s) * 1_000_000
+    on = on or []
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / tol_us)
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / tol_us)
+    l2 = left.withColumn("__b", lb)
+    r2 = right.withColumn("__b", F.explode(F.array(rb - 1, rb, rb + 1)))
+    within = (
+        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))) <= tol_us
+    )
+    return l2.join(r2, on + ["__b"]).filter(within).drop("__b")
+
+
 def sessionize(
     events: DataFrame,
     keys: list[str],

@@ -64,6 +64,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_range_join",
+    oracle="""
+    WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT e.event_id, CAST(count(p.p_id) AS BIGINT) AS n_nearby
+    FROM e LEFT JOIN p
+      ON abs(epoch_us(e.ts) - epoch_us(p.p_ts)) <= 300000000
+    GROUP BY 1
+    """,
+    tags=("join", "temporal"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence: purchases within ±5 min of each error
+    event (zero-count errors kept). The binned-bucket range join
+    (operators/temporal.py range_join) — hash equi-join on the time
+    bucket with 3× bounded fan-out — against DuckDB's literal
+    inequality join, which is only feasible because the oracle corpus
+    is small; the inequality form IS the cartesian blow-up the binning
+    avoids."""
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = TP.range_join(errors, purchases, "ts", "p_ts", 300)
+    counts = pairs.groupBy("event_id").agg(F.count("p_id").alias("n_nearby"))
+    return (
+        errors.join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"))
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH flagged AS (

@@ -50,6 +50,31 @@ def test_asof_tie_is_inclusive(spark):
     assert row.rv_right == 99 and row.ts_right == 10
 
 
+def test_range_join_matches_python_model(spark):
+    """Binned range join == brute-force |Δt| ≤ tol, boundary inclusive,
+    no duplicate pairs from the 3-bucket explode."""
+    rng = random.Random(5)
+    lts = [rng.randrange(0, 2000) for _ in range(60)]
+    rts = [rng.randrange(0, 2000) for _ in range(60)]
+    lts.append(500)
+    rts.append(600)  # exactly tol apart (tol=100) — must match
+    ldf = spark.createDataFrame([(i, t) for i, t in enumerate(lts)], "lid int, lt_s long").select(
+        "lid", F.timestamp_seconds("lt_s").alias("lt")
+    )
+    rdf = spark.createDataFrame([(i, t) for i, t in enumerate(rts)], "rid int, rt_s long").select(
+        "rid", F.timestamp_seconds("rt_s").alias("rt")
+    )
+    out = [(r.lid, r.rid) for r in TP.range_join(ldf, rdf, "lt", "rt", 100).collect()]
+    model = [
+        (li, ri)
+        for li, lt in enumerate(lts)
+        for ri, rt in enumerate(rts)
+        if abs(lt - rt) <= 100
+    ]
+    assert sorted(out) == sorted(model)  # equality also catches duplicates
+    assert (len(lts) - 1, len(rts) - 1) in out  # the exact-boundary pair
+
+
 def test_sessionize_matches_python_model(spark):
     """Session boundaries, counts, and durations equal a linear scan."""
     rng = random.Random(3)
