@@ -256,6 +256,82 @@ def train_centroids(
     return centroids
 
 
+def write_ivf_index(
+    spark,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF layout: vectors under `path`/vectors as parquet
+    PARTITIONED BY their nearest-centroid cell, centroids under
+    `path`/centroids. This is the production story SCALE.md §6
+    describes, made real: a probed search filters on the partition
+    column, so non-probed cells are pruned before any I/O — at 100 TB
+    a 4-of-64-cell probe reads ~6% of the corpus bytes."""
+    assign, _ = _centroid_kernels(centroids)
+    (
+        corpus.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # array<double>: centroids must round-trip bit-exactly (assignment
+    # boundaries move under a float32 downcast)
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: load centroids (k×dim, driver-side),
+    compute each query's nprobe nearest cells, PRUNE the corpus scan to
+    those partitions with a static `cell IN (...)` filter (the probed
+    cell set is |Q|×nprobe ints — tiny and known up front), then the
+    same broadcast-join + exact-cosine rerank as ivf_topk. The
+    partition filter is asserted in tests (PartitionFilters in the
+    scan node)."""
+    centroids = read_ivf_centroids(spark, path)
+    _, probe_maker = _centroid_kernels(centroids)
+    q_assigned = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_maker(nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    probed_cells = sorted({r.cell for r in q_assigned.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", "cos_sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

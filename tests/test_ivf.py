@@ -39,6 +39,26 @@ def test_full_probe_degenerates_to_bruteforce(emb, centroids):
     assert e == f
 
 
+def test_persisted_index_roundtrip_and_pruning(spark, emb, centroids, tmp_path):
+    """The persisted IVF index returns exactly what the in-memory probe
+    returns, and the probed search PRUNES the vectors scan to the
+    probed cells (PartitionFilters on the partition column) — the
+    read-less-at-scale claim, asserted on the actual plan."""
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(spark, emb, centroids, path)
+    assert SIM.read_ivf_centroids(spark, path) == centroids
+
+    q = emb.filter(F.col("vec_id") < 5)
+    mem = SIM.ivf_topk(q, emb, centroids, k=5, nprobe=3)
+    idx = SIM.ivf_topk_indexed(spark, path, q, k=5, nprobe=3)
+    m = {(r.query_id, r.rank): (r.match_id, r.cos_sim) for r in mem.collect()}
+    i = {(r.query_id, r.rank): (r.match_id, r.cos_sim) for r in idx.collect()}
+    assert m == i
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_probe_recall_reasonable(emb, centroids):
     """nprobe=3 of 8 cells must recover a solid fraction of the exact
     top-5 (deterministic corpus + deterministic training → stable)."""
