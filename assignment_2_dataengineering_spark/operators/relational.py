@@ -70,6 +70,72 @@ def semi_anti_split(left: DataFrame, right: DataFrame, on: Column, labels=("with
     return semi.unionByName(anti)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_from: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side into `salts` sub-keys and
+    replicate the small side across every salt, so one hot key spreads
+    over `salts` reducers instead of melting a single task.
+
+    The salt derives from xxhash64 of a big-side unique column
+    (`salt_from`), so the assignment is deterministic across runs and
+    partitionings. The small side is replicated with explode(sequence)
+    — `salts` copies, which is why this is for MB-scale dims that are
+    skewed-hot rather than broadcast-able (broadcast needs no salt at
+    all; AQE skew-join handles sort-merge cases — this operator is the
+    explicit form for when neither applies, e.g. a streaming join where
+    AQE is unavailable).
+
+    Result is row-identical to the plain join (pinned by the
+    q_salted_join oracle).
+    """
+    salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(salt_from), F.lit(salts)))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Batch MERGE (CDC upsert): source rows override matching target
+    rows per-column (null-safe — a NULL source field keeps the target
+    value, same F15 semantics as streaming/snapshot.py), unmatched
+    source rows insert, unmatched target rows persist.
+
+    Implemented as one full-outer shuffle join on `keys` + coalesce
+    projection — the lakehouse MERGE INTO shape without requiring a
+    table format. At 100 TB both sides hash-partition on the key once;
+    if the target is bucketed on `keys` (sources/io.py bucketed
+    writer), the target-side exchange disappears entirely.
+    """
+    # Alias-qualified F.col refs (not df[...] attribute refs): the source
+    # is typically DERIVED FROM the target (CDC extract), and attribute
+    # refs on two lineage-sharing frames trip Spark's ambiguous-self-join
+    # analyzer; string refs bind to the join-side alias instead.
+    t, s = target.alias("__t"), source.alias("__s")
+    cond = None
+    for k in keys:
+        c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+        cond = c if cond is None else (cond & c)
+    out_cols = [
+        F.coalesce(F.col(f"__s.{k}"), F.col(f"__t.{k}")).alias(k)
+        for k in target.columns
+    ]
+    return t.join(s, cond, "full_outer").select(*out_cols)
+
+
 def mode_value(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
     """Deterministic mode (A5): dashboard.py:719's `.mode()[0]` is
     pandas-order-dependent; the engine defines ties → smallest value

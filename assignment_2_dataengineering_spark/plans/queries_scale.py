@@ -1,0 +1,138 @@
+"""Scale-pattern queries: the operators whose whole point is surviving
+a 1000-executor / 100 TB run — skew-salted join, batch MERGE upsert,
+and dataset profiling. Each is oracle-paired: salting and merge are
+semantics-preserving, so their oracles are the PLAIN SQL forms and the
+hash-match proves the scale machinery changes the plan, not the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import merge_upsert, salted_join
+from ..sources.tables import load_table
+from .registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "scale"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders↔customer revenue by market segment through the
+    skew-salted join (operators/relational.salted_join): the fact side
+    is salted 8 ways on xxhash64(o_orderkey), the dim side replicated
+    per salt, so a hot customer key spreads across 8 reducers. The
+    oracle is the PLAIN join — the hash match proves salting is
+    semantics-preserving. (With healthy keys broadcast/AQE wins; this
+    pins the explicit fallback for skew AQE can't see, e.g. streaming.)"""
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", salt_from="o_orderkey", salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new-' || c_name, 0.0
+        FROM customer WHERE c_custkey % 1000 = 7
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(s.c_name, t.c_name) AS c_name,
+           round(coalesce(s.c_acctbal, t.c_acctbal), 2) AS c_acctbal
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) t
+    FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+    tags=("join", "scale"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (CDC upsert) via operators/relational.merge_upsert:
+    a derived change-set (10% balance updates + a handful of inserts
+    with shifted keys) merged into the customer snapshot — updates
+    override, inserts append, untouched rows persist. One full-outer
+    shuffle on the key; bucketing the target on c_custkey removes even
+    that at scale. Oracle is the equivalent FULL OUTER JOIN + COALESCE."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+    )
+    inserts = cust.filter(F.col("c_custkey") % 1000 == 7).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merged = merge_upsert(cust, updates.unionByName(inserts), keys=["c_custkey"])
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "q_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               round(min({c}), 4) AS min_val,
+               round(max({c}), 4) AS max_val,
+               round(avg({c}), 4) AS avg_val,
+               round(stddev_samp({c}), 4) AS stddev_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("agg", "scale"),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the pre-flight every pipeline runs before
+    touching 100 TB): per-column row/null counts, min/max/mean/stddev,
+    emitted long-form one row per column. ALL columns profile in ONE
+    scan + ONE partial-agg shuffle (a single Aggregate node computes
+    every statistic); the wide 1-row result is then unpivoted
+    driver-free with stack(). Compare: per-column DESCRIBE loops scan
+    the table N times."""
+    li = T(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__avg, {c}__std"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, min_val, max_val, avg_val, stddev_val)"
+        )
+    )

@@ -53,6 +53,8 @@ def _ensure_loaded() -> None:
     from . import queries_multimodal  # noqa: F401
     from . import queries_analytic  # noqa: F401
     from . import queries_temporal  # noqa: F401
+    from . import queries_corpus  # noqa: F401
+    from . import queries_scale  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
