@@ -104,6 +104,63 @@ def range_join(
     return l2.join(r2, on + ["__b"]).filter(within).drop("__b")
 
 
+def gap_fill(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 300,
+) -> DataFrame:
+    """Regularize an irregular time series onto a fixed grid with
+    forward fill — the hypertable/timeseries-DB `time_bucket_gapfill +
+    locf` operator.
+
+    Per key: observed buckets aggregate (sum) onto the floor(ts/bucket)
+    grid; the full dense grid min..max bucket is generated JVM-side with
+    sequence()+explode (no driver loop, no UDF); a left join marks gaps;
+    last(ignorenulls) over the bucket order carries the previous
+    observed value forward. Leading gaps (before the first observation)
+    stay NULL — they have no "last" to carry.
+
+    Scale: one shuffle for the per-bucket agg, one for the per-key
+    min/max (tiny), one window pass on the same key partitioning. The
+    dense grid is |keys| × horizon/bucket rows — generated, never
+    shuffled pre-join (the join key includes the key columns, so it
+    co-partitions with the observed aggregate). A key spanning years at
+    second granularity explodes its own grid only.
+    """
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long") * bucket_s
+    )
+    observed = (
+        events.select(*keys, bucket.alias("bucket"), F.col(value_col))
+        .groupBy(*keys, "bucket")
+        .agg(F.round(F.sum(value_col), 4).alias("observed"))
+    )
+    spans = observed.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {bucket_s} SECONDS"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(observed, [*keys, "bucket"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "bucket",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        F.when(F.col("observed").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     keys: list[str],

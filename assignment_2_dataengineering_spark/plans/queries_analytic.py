@@ -118,3 +118,50 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "q_ntile",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+    """,
+    tags=("window",),
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length deciles per language (ntile) — the bucketing used for
+    quality-stratified corpus mixing. Completes the ranking-window
+    family (row_number/lag/frames in q_analytic_window). The doc_id
+    tie-break pins bucket assignment exactly; one shuffle on lang +
+    local sort (same shape as every ranking window)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "q_approx_quantiles",
+    oracle=None,  # quantile sketches differ across engines; error bound pinned in tests/test_properties.py
+    tags=("agg", "approx"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 per event type (Greenwald-Khanna sketch,
+    accuracy 1/10000) alongside the exact interpolated percentile —
+    at 100 TB the sketch merges per-partition summaries instead of
+    shuffling every value the way exact percentile must. Cross-engine
+    sketch layouts differ → rows-only driver check; the |approx−exact|
+    rank-error bound is asserted in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
+    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(qs[0], 4).alias("p50_approx"),
+        F.round(qs[1], 4).alias("p95_approx"),
+        F.round(qs[2], 4).alias("p99_approx"),
+        F.round(exact[0], 4).alias("p50_exact"),
+        F.round(exact[1], 4).alias("p95_exact"),
+        F.round(exact[2], 4).alias("p99_exact"),
+    )

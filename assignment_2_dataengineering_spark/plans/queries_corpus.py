@@ -87,6 +87,7 @@ _DECON_N = 5
     GROUP BY 1
     """,
     tags=("text", "dedup"),
+    bench=True,  # broadcast-probe family in the headline set
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
@@ -165,4 +166,62 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         off.cast("bigint").alias("start_offset"),
         F.floor(off / _PACK_BUDGET).cast("bigint").alias("chunk_id"),
+    )
+
+
+_TFIDF_TOPK = 5
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf,
+               round(tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= {_TFIDF_TOPK}
+    """,
+    tags=("text", "agg"),
+    bench=True,  # multi-agg + ranking-window family
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF keywords, top 5 per document (ln((N+1)/(df+1))
+    idf): term frequencies and document frequencies are two hash
+    aggregations; N arrives as a broadcast scalar (no collect); ranking
+    orders by the ROUNDED score then token so the top-k cut is
+    deterministic cross-engine. Three shuffles total (tf, df-join,
+    doc window) — each keyed, none quadratic. The df table stays
+    distributed (a 100 TB corpus vocabulary outgrows broadcast)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _TFIDF_TOPK)
+        .drop("__rn")
     )

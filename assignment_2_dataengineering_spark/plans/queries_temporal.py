@@ -171,3 +171,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.3)
     return DD.dedup_clusters(pairs, docs.select("doc_id"))
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS bucket,
+               round(sum(value), 4) AS observed
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 300 SECOND)) AS bucket
+        FROM span
+    )
+    SELECT g.user_id, g.bucket, o.observed,
+           last_value(o.observed IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket ROWS UNBOUNDED PRECEDING
+           ) AS filled,
+           CASE WHEN o.observed IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+    tags=("temporal", "window"),
+    bench=True,  # densify + forward-fill family
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (time_bucket_gapfill/locf):
+    per-user 5-minute grid densified between first and last observation
+    with sequence()+explode (JVM-side, no driver loop), gaps left-joined
+    against the observed per-bucket sums, then last(ignorenulls) carries
+    values forward. Leading gaps stay NULL (nothing to carry). One
+    shuffle for the bucket agg, a tiny span agg, one co-partitioned
+    window pass (operators/temporal.gap_fill)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return TP.gap_fill(ev, ["user_id"], ts_col="ts", value_col="value", bucket_s=300)

@@ -90,3 +90,20 @@ def read_csv_with_array_codec(
         if isinstance(f.dataType, T.ArrayType):
             df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
     return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: str | None = None) -> None:
+    """ORC sink — the interchange format for Hive/Trino-adjacent stacks
+    (zlib by default; same columnar pruning properties as Parquet). The
+    engine's canonical store stays Parquet; ORC is for downstream
+    consumers that require it."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: same pushdown/pruning behavior as the Parquet path
+    (predicate pushdown + column pruning reach the ORC reader)."""
+    return spark.read.orc(path)

@@ -24,6 +24,59 @@ def dedup_events(events: DataFrame, keys: list[str], watermark: str | None = "60
     return events.dropDuplicates(keys + [ts_col])
 
 
+def dedup_events_bounded(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "60 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T7/T8 duplicate suppression with PROVABLY bounded state:
+    dropDuplicatesWithinWatermark keeps a key in the state store only
+    until the watermark passes its first-seen event time, then evicts —
+    whereas plain dropDuplicates holds every distinct (key, ts) forever
+    unless the watermark column is part of the key set. For an infinite
+    stream at 100 TB/day this is the difference between O(delay-window)
+    and O(stream-lifetime) state. Duplicates are suppressed when they
+    arrive within the watermark delay of the original — exactly the
+    QoS-1 redelivery window (streaming/replay.py T8). Batch frames fall
+    back to exact dropDuplicates (no state to bound)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys + [ts_col])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [ts_col]
+    )
+
+
+def sliding_window_sums(
+    events: DataFrame,
+    key: str,
+    measures: list[str],
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "60 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T5 sliding (hopping) windows: each event lands in
+    window/slide overlapping buckets — the dashboard's "last 10 minutes,
+    refreshed every 5" view as an incremental query instead of a
+    re-scan. Spark expands the window/slide assignment map-side (an
+    event emits window÷slide rows), so state per key stays
+    O(horizon/slide); the shuffle key is (window, key) exactly like the
+    tumbling form. Same batch/streaming duality as tumbling_window_sums."""
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key))
+        .agg(*[F.round(F.sum(m), 4).alias(f"sum_{m}") for m in measures])
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            key,
+            *[f"sum_{m}" for m in measures],
+        )
+    )
+
+
 def tumbling_window_sums(
     events: DataFrame,
     key: str,

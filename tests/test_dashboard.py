@@ -108,3 +108,28 @@ def test_enrichment_upsert_batch_appends_misses(spark, frames):
     # NOT guaranteed (dim grew), but the insert stays if-absent
     apply(batch, 1)
     assert dim_state["df"].filter(F.col("facility_id") == "UNKNOWN9").count() == 1
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path_factory):
+    """ORC sink/scan: values survive a roundtrip and the scan prunes
+    columns + pushes predicates like the Parquet path."""
+    from assignment_2_dataengineering_spark.sources import io as eio
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path_factory.mktemp("orc") / "customer_orc")
+    eio.write_orc(cust, path)
+    back = eio.read_orc(spark, path)
+    assert sorted(back.columns) == sorted(cust.columns)
+    assert back.count() == cust.count()
+    a = sorted(tuple(r) for r in cust.select("c_custkey", "c_acctbal").collect())
+    b = sorted(tuple(r) for r in back.select("c_custkey", "c_acctbal").collect())
+    assert a == b
+    pruned = back.filter(back.c_custkey < 10).select("c_name")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    # column pruning: the ORC scan reads only the referenced columns
+    import re
+    m = re.search(r"ReadSchema: ([^\n]*)", pruned._jdf.queryExecution().toString() or "")
+    if m:
+        assert "c_acctbal" not in m.group(1)

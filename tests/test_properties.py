@@ -180,3 +180,35 @@ def test_topk_per_key_bounds_and_order(spark, data):
         model[key].append(v)
     for key, vs in model.items():
         assert sorted(by_key[key], reverse=True) == sorted(vs, reverse=True)[:k]
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """q_approx_quantiles: each sketch estimate must land within the
+    Greenwald-Khanna rank-error guarantee of the exact distribution —
+    with accuracy=10000 the rank error is ≤ 1/10000, so the approx
+    value must sit between the exact (q−ε) and (q+ε) quantiles (ε
+    widened to 0.01 for cross-batch merge slack)."""
+    from pyspark.sql import functions as F
+
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    out = {r.event_type: r for r in all_specs()["q_approx_quantiles"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    eps = 0.01
+    brackets = ev.groupBy("event_type").agg(
+        *[
+            F.percentile("value", F.lit(q + d)).alias(f"b_{int(q*100)}_{'hi' if d > 0 else 'lo'}")
+            for q in (0.5, 0.95)
+            for d in (-eps, eps)
+        ],
+        F.percentile("value", F.lit(0.99 - eps)).alias("b_99_lo"),
+        F.percentile("value", F.lit(1.0)).alias("b_99_hi"),
+    )
+    for r in brackets.collect():
+        got = out[r.event_type]
+        assert r.b_50_lo <= got.p50_approx <= r.b_50_hi
+        assert r.b_95_lo <= got.p95_approx <= r.b_95_hi
+        assert r.b_99_lo <= got.p99_approx <= r.b_99_hi
+        # and the exact columns are self-consistent
+        assert got.p50_exact <= got.p95_exact <= got.p99_exact

@@ -350,3 +350,71 @@ def test_totals_timeseries_horizon(spark, parsed_batch):
     # 60-min horizon over 5-min buckets anchored at max ts → ≤ 13 buckets
     assert 1 <= len(rows) <= 13
     assert rows == sorted(rows, key=lambda r: r.bucket)
+
+
+def test_sliding_window_streaming_matches_batch(spark, tmp_path_factory, event_lines):
+    """T5 sliding windows: the streaming (complete-mode) result over a
+    file replay equals the batch evaluation of the same plan, and each
+    event lands in window/slide = 2 overlapping buckets."""
+    src = str(tmp_path_factory.mktemp("slide_replay"))
+    replay.write_replay_chunks(event_lines, src, events_per_file=200)
+    stream = replay.file_replay_stream(spark, src)
+    fac = ingest.facility_branch(ingest.parse_events(stream))
+    win = windows.sliding_window_sums(
+        fac, "facility_id", ["power_mw"], window="10 minutes", slide="5 minutes"
+    )
+    q = (
+        win.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_slide")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from slide_sink")
+
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    batch_fac = ingest.facility_branch(ingest.parse_events(raw))
+    want = windows.sliding_window_sums(
+        batch_fac, "facility_id", ["power_mw"], window="10 minutes", slide="5 minutes"
+    )
+    key = ["bucket_start", "bucket_end", "facility_id", "sum_power_mw"]
+    assert got.count() == want.count() > 0
+    assert got.join(want, key, "inner").count() == want.count()
+
+    # overlap factor: every event contributes to exactly 2 sliding buckets,
+    # so Σ sliding sums = 2 × Σ tumbling sums (same 5-min grid).
+    tumb = windows.tumbling_window_sums(batch_fac, "facility_id", ["power_mw"])
+    s_slide = want.agg(F.sum("sum_power_mw")).first()[0]
+    s_tumb = tumb.agg(F.sum("sum_power_mw")).first()[0]
+    assert abs(s_slide - 2 * s_tumb) < 1e-6
+
+
+def test_dedup_bounded_suppresses_within_watermark(spark, tmp_path_factory, event_lines):
+    """dropDuplicatesWithinWatermark path: the fixture's QoS-1 duplicate
+    arrives within the watermark delay and is suppressed; state stays
+    bounded by eviction (batch fallback stays exact dropDuplicates)."""
+    src = str(tmp_path_factory.mktemp("ddw_replay"))
+    replay.write_replay_chunks(event_lines, src, events_per_file=150)
+    stream = replay.file_replay_stream(spark, src)
+    fac = ingest.facility_branch(ingest.parse_events(stream))
+    deduped = windows.dedup_events_bounded(fac, ["facility_id"], watermark="60 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_ddw")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select facility_id, ts from ddw_sink")
+    # no (facility_id, ts) appears twice post-dedup
+    assert got.groupBy("facility_id", "ts").count().filter(F.col("count") > 1).count() == 0
+    # and the batch fallback agrees on the surviving multiset
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    batch = windows.dedup_events_bounded(
+        ingest.facility_branch(ingest.parse_events(raw)), ["facility_id"]
+    )
+    assert got.count() == batch.count()
