@@ -129,6 +129,26 @@ def repetition_ratio(text: Column, n: int = 2) -> Column:
     )
 
 
+def stopword_ratio_from_tokens(w: Column, lang: str = "en") -> Column:
+    """stopword_ratio over a MATERIALIZED token-array column — use when
+    the caller has already paid the explode(array(x)) Generate barrier
+    so the text isn't re-split per reference (see
+    operators.dedup._with_shingle_set for why)."""
+    hits = F.size(F.filter(w, lambda t: t.isin(STOPWORDS[lang])))
+    return hits / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def repetition_ratio_from_grams(grams: Column) -> Column:
+    """repetition_ratio over a MATERIALIZED n-gram array column. The
+    expression references `grams` three times (two sizes + distinct);
+    on a materialized column those are array reads, inlined they would
+    each rebuild every gram via element_at → re-split of the text."""
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"), 4)
+    )
+
+
 def pattern_count(text: Column, pattern: str) -> Column:
     """Occurrences of a regex in the text (URL/email/PII counting)."""
     return F.regexp_count(text, F.lit(pattern))

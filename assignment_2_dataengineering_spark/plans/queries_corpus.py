@@ -97,14 +97,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set and BROADCAST — eval suites are tiny (KBs–MBs) next to
     a 100 TB corpus, so the training side never shuffles for the probe;
     contamination is a map-side hash-join followed by one count
-    aggregation on doc_id."""
+    aggregation on doc_id.
+
+    The token array is materialized behind an explode(array(x)) Generate
+    barrier before shingling (operators/dedup.py _with_shingle_set
+    pattern): shingles_from_tokens references the token array 5× per
+    shingle position via element_at, and CollapseProject would otherwise
+    inline the split() so every reference re-splits the text — measured
+    22 s → ~3 s at sf0.1."""
     d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
+    )
     sh = (
-        d.select(
+        toks.select(
             "doc_id",
-            F.explode(
-                TX.shingles_from_tokens(TX.tokens_ws(F.col("text")), _DECON_N)
-            ).alias("shingle"),
+            F.explode(TX.shingles_from_tokens(F.col("__w"), _DECON_N)).alias("shingle"),
         )
         .distinct()
     )

