@@ -1,0 +1,136 @@
+"""Spark 4 Python Data Source for the REST extraction surface (S1/S2):
+`spark.read.format("oe_rest")` with one input partition per facility-code
+batch, so the fetch fan-out runs ON EXECUTORS — the reference extracts
+serially in one process (extractor.py:100-136), and even the engine's
+driver-side `sources.extract.fetch_facility_data` is a loop; this makes
+ingest itself horizontally scalable (1000 partitions = 1000 concurrent
+fetchers with Spark task retries as the retry layer on top of the
+in-partition S3 retry wrapper).
+
+The landing schema is raw (batch_index, url, status, body) — the engine's
+normalizers (extract.facility_responses_to_long) take it from there, so
+quarantine/validation semantics are identical to the file-landed path.
+
+Transports (options are strings, so the transport is selected by URI):
+- ``transport=https`` — real urllib GET (no such endpoint in the test
+  container; exists for production parity).
+- ``transport=fake:<seed>`` — deterministic synthetic OE-shaped payload
+  per batch (tests; no network).
+- ``transport=file:<dir>`` — replay landed JSON batch files by index
+  (the reference's own landing layout).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LANDING_SCHEMA = "batch_index int, url string, status int, body string"
+
+
+class RestBatchPartition(InputPartition):
+    def __init__(self, index: int, url: str):
+        self.index = index
+        self.url = url
+
+
+def _fake_body(seed: int, index: int, codes: list[str]) -> dict:
+    """Deterministic OE-shaped response for a batch of codes (matches
+    extract.RESPONSE_SCHEMA: data → metric blocks → per-series results
+    → [timestamp, value] pairs): one power + one emissions series per
+    code, values a pure function of (seed, code, metric, t)."""
+    data = []
+    for metric in ("power", "emissions"):
+        results = []
+        for code in codes:
+            base = (seed * 1_000_003 + sum(map(ord, code)) * 97) % 500
+            pairs = [
+                [
+                    f"2024-01-01T00:{5 * t:02d}:00+10:00",
+                    str(round((base + 13 * t + (7 if metric == "power" else 3)) % 997 / 10.0, 1)),
+                ]
+                for t in range(3)
+            ]
+            results.append(
+                {"name": f"{metric}_{code}", "columns": {"unit_code": code}, "data": pairs}
+            )
+        data.append({"metric": metric, "results": results})
+    return {"data": data}
+
+
+class RestBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.base_url = options.get("base_url", "https://api.example.invalid")
+        self.codes = [c for c in options.get("codes", "").split(",") if c]
+        self.batch_size = int(options.get("batch_size", "25"))
+        self.date_start = options.get("date_start", "2024-01-01")
+        self.date_end = options.get("date_end", "2024-01-08")
+        self.transport = options.get("transport", "https")
+
+    def _batches(self) -> list[list[str]]:
+        from .extract import batch_codes
+
+        return batch_codes(self.codes, self.batch_size)
+
+    def partitions(self):
+        from .extract import build_query_string
+
+        parts = []
+        for i, batch in enumerate(self._batches()):
+            qs = build_query_string(
+                interval="5m",
+                metrics=["power", "emissions"],
+                date_start=self.date_start,
+                date_end=self.date_end,
+                facility_code=batch,
+            )
+            parts.append(RestBatchPartition(i, f"{self.base_url}/data/facilities/NEM{qs}"))
+        return parts
+
+    def read(self, partition: RestBatchPartition):
+        # Runs on an EXECUTOR: one fetch per partition, Spark task retry
+        # + in-partition retry wrapper (extract.fetch_with_retry) on top.
+        batch = self._batches()[partition.index]
+        if self.transport.startswith("fake:"):
+            seed = int(self.transport.split(":", 1)[1])
+            body = _fake_body(seed, partition.index, batch)
+            yield (partition.index, partition.url, 200, json.dumps(body))
+            return
+        if self.transport.startswith("file:"):
+            root = self.transport.split(":", 1)[1]
+            try:
+                with open(f"{root}/batch_{partition.index:05d}.json") as f:
+                    yield (partition.index, partition.url, 200, f.read())
+            except FileNotFoundError:
+                yield (partition.index, partition.url, 404, None)
+            return
+        from urllib.request import urlopen  # production path; no endpoint in tests
+
+        from .extract import fetch_with_retry
+
+        def transport(url: str):
+            try:
+                with urlopen(url, timeout=30) as resp:
+                    return resp.status, json.loads(resp.read())
+            except Exception:
+                return 500, None
+
+        resp = fetch_with_retry(transport, partition.url)
+        status = 200 if resp is not None else 500
+        yield (partition.index, partition.url, status, json.dumps(resp) if resp else None)
+
+
+class RestBatchDataSource(DataSource):
+    """spark.read.format("oe_rest") — register with
+    spark.dataSource.register(RestBatchDataSource)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "oe_rest"
+
+    def schema(self) -> str:
+        return LANDING_SCHEMA
+
+    def reader(self, schema) -> RestBatchReader:
+        return RestBatchReader(self.options)
