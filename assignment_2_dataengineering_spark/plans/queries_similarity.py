@@ -113,3 +113,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = SIM.train_centroids(emb, k=16, iters=5)
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.ivf_topk(q, emb, cents, k=10, nprobe=4)
+
+
+@register(
+    "q_ann_pq",
+    oracle=None,  # trained codebooks → rows-only; recall floor + code-domain invariants in tests/test_pq.py
+    tags=("similarity",),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, full production shape: 64-dim vectors
+    compressed to 16 code ids (16 subspaces × 16 sub-centroids,
+    deterministic per-subspace k-means), asymmetric-distance scan in
+    pure codegen (each query's m×k distance table is a broadcast
+    literal; per-row distance = Σ table[m][code_m] element_at fold)
+    produces a 50-candidate shortlist, and only the shortlist touches
+    the raw vectors for the exact-L2 re-rank — at 100 TB the
+    full-precision corpus is read for |Q|×50 rows, not |corpus|.
+    Recall ≥ 0.8 vs exact L2 pinned in tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.train_pq_codebooks(emb, m=16, k=16, iters=3)
+    codes = SIM.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return SIM.pq_topk_reranked(q, emb, codes, books, k=_TOP_K, shortlist=50)
