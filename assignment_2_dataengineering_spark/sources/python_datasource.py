@@ -134,3 +134,67 @@ class RestBatchDataSource(DataSource):
 
     def reader(self, schema) -> RestBatchReader:
         return RestBatchReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: deterministic event replay as a Python streaming source
+# ---------------------------------------------------------------------------
+
+
+class _ReplayStreamReader:
+    """SimpleDataSourceStreamReader over a JSONL event file: offset =
+    line index, each micro-batch emits the next `events_per_batch`
+    lines as (value string) rows — the MQTT-subscribe stand-in
+    (SURVEY §7.3) as a FIRST-CLASS source format instead of a helper
+    (streaming/replay.py file_replay_stream needs pre-chunked files;
+    this replays one landed file with exactly-once offsets the
+    checkpoint owns, and readBetweenOffsets makes batch replay
+    deterministic for recovery)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.per_batch = int(options.get("events_per_batch", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _lines(self) -> list[str]:
+        with open(self.path) as f:
+            return [ln.rstrip("\n") for ln in f if ln.strip()]
+
+    def read(self, start: dict):
+        lines = self._lines()
+        i = start["index"]
+        j = min(i + self.per_batch, len(lines))
+        return iter([(ln,) for ln in lines[i:j]]), {"index": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lines = self._lines()
+        return iter([(ln,) for ln in lines[start["index"] : end["index"]]])
+
+    def commit(self, end: dict) -> None:
+        pass  # source is a static file; nothing to evict
+
+
+class ReplayStreamDataSource(DataSource):
+    """spark.readStream.format("oe_replay").option("path", ...) — raw
+    event lines; downstream is the same parse→validate→route plan as
+    every other ingress (streaming/ingest.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "oe_replay"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        # _ReplayStreamReader first: SimpleDataSourceStreamReader's
+        # defaults raise NotImplemented and must lose the MRO race.
+        class Reader(_ReplayStreamReader, SimpleDataSourceStreamReader):
+            def __init__(inner):
+                _ReplayStreamReader.__init__(inner, self.options)
+
+        return Reader()

@@ -418,3 +418,49 @@ def test_dedup_bounded_suppresses_within_watermark(spark, tmp_path_factory, even
         ingest.facility_branch(ingest.parse_events(raw)), ["facility_id"]
     )
     assert got.count() == batch.count()
+
+
+def test_replay_stream_datasource(spark, tmp_path_factory, event_lines):
+    """oe_replay Python streaming source: line-index offsets, bounded
+    micro-batches, end state equals the batch golden on the same lines."""
+    from assignment_2_dataengineering_spark.sources.python_datasource import (
+        ReplayStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ReplayStreamDataSource)
+    except Exception:
+        pass
+    root = tmp_path_factory.mktemp("oe_replay")
+    path = str(root / "events.jsonl")
+    with open(path, "w") as f:
+        f.write("\n".join(event_lines))
+
+    stream = (
+        spark.readStream.format("oe_replay")
+        .option("path", path)
+        .option("events_per_batch", "150")
+        .load()
+    )
+    assert stream.isStreaming
+    fac = ingest.facility_branch(ingest.parse_events(stream))
+    # Python streaming sources don't support Trigger.AvailableNow
+    # (falls back to ONE micro-batch); drain with processAllAvailable.
+    q = (
+        fac.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oe_replay_sink")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_oe")))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from oe_replay_sink")
+
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    want = ingest.facility_branch(ingest.parse_events(raw))
+    assert got.count() == want.count() > 0
+    cols = ["facility_id", "ts", "power_mw"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
