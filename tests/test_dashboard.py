@@ -133,3 +133,30 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path_factory):
     m = re.search(r"ReadSchema: ([^\n]*)", pruned._jdf.queryExecution().toString() or "")
     if m:
         assert "c_acctbal" not in m.group(1)
+
+
+def test_cli_list_run_oracle(spark, sf_dir, capsys):
+    """__main__ CLI: list shows every registered query; run emits JSON
+    lines; oracle reproduces the driver's per-query gate (and must not
+    stop the caller's session)."""
+    import json as _json
+
+    from assignment_2_dataengineering_spark.__main__ import main
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in all_specs():
+        assert name in out
+
+    assert main(["run", "q_count", "--sf-dir", sf_dir, "-n", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 1 <= len(lines) <= 5
+    assert all(isinstance(_json.loads(l), dict) for l in lines)
+
+    assert main(["oracle", "q_count", "--sf-dir", sf_dir]) == 0
+    verdict = _json.loads(capsys.readouterr().out.strip())
+    assert verdict["match"] is True
+    assert spark.sparkContext._jsc is not None  # session survived
+
+    assert main(["run", "nope"]) == 2
