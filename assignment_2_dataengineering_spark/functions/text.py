@@ -117,6 +117,37 @@ def langid_best(text: Column, threshold: float = 0.08) -> Column:
 URL_PATTERN = r"https?://[^\s]+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
+# PII patterns, restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences) so the same strings drive Spark's
+# codegen regexp and the DuckDB oracle identically.
+IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact PII spans in place: email → [EMAIL], IPv4 → [IP],
+    phone-ish digit runs → [PHONE]. Order matters — emails may embed
+    digit+dot runs and IPs are digit runs, so each pass must consume
+    its spans before the next, coarser pattern sees them. Pure
+    regexp_replace chain: whole-stage codegen, scan speed, no shuffle —
+    the right shape for a scrub that runs over every byte of a 100 TB
+    corpus."""
+    t = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    t = F.regexp_replace(t, IPV4_PATTERN, "[IP]")
+    return F.regexp_replace(t, PHONE_PATTERN, "[PHONE]")
+
+
+def dedup_tokens_ordered(w: Column) -> Column:
+    """Order-preserving within-document token dedup: keep the FIRST
+    occurrence of each token (the Gopher-style intra-doc repetition
+    cleaner, at word granularity). filter((x, i) → array_position(w, x)
+    == i+1) is O(k²) in tokens-per-doc but purely per-row codegen — no
+    shuffle, no state; for book-length docs switch to the
+    posexplode → min(pos) → reassemble aggregation form instead. Pass a
+    MATERIALIZED token column (explode(array(..)) barrier) or the
+    defining split() re-runs per reference."""
+    return F.filter(w, lambda x, i: F.array_position(w, x) == i + 1)
+
 
 def repetition_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of repeated word n-grams: 1 - distinct/total — the

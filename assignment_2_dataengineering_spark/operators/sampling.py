@@ -30,6 +30,57 @@ def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
     return ((id_col.cast("long") * _A + _C) % _M) % buckets
 
 
+def split_label(id_col: Column, train_pct: int = 98, val_pct: int = 1) -> Column:
+    """Deterministic train/val/test assignment from the id hash: bucket
+    < train_pct → 'train', next val_pct buckets → 'val', rest → 'test'.
+    A pure scan predicate — the same row lands in the same split on
+    every run, every partitioning, every engine, which is what keeps a
+    held-out set held out across pipeline reruns."""
+    b = hash_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def global_shuffle_rank(df: DataFrame, id_col: str = "doc_id", buckets: int = 1024) -> DataFrame:
+    """Deterministic global shuffle order for training-data emission:
+    appends `shuffle_rank` = row_number over (lcg_hash(id), id) — a
+    reproducible pseudo-random permutation of the corpus.
+
+    Computed in TWO phases so no single task ever sees the full corpus
+    (a naive global row_number() window collapses everything to one
+    partition — the classic scale killer):
+      1. range-bucket rows by hash (bucket = h // (M/buckets), monotone
+         in h so bucket order == hash order), count rows per bucket,
+         prefix-sum the counts into per-bucket offsets (a `buckets`-row
+         window — trivially small, broadcast back);
+      2. row_number within each bucket partition (distributed window)
+         + the bucket's offset.
+    Equivalent to ORDER BY (h, id) exactly; at 100 TB this is one
+    shuffle on a well-mixed key plus a broadcast of `buckets` longs.
+    """
+    from pyspark.sql import Window
+
+    chunk = _M // buckets
+    h = (F.col(id_col).cast("long") * _A + _C) % _M
+    df2 = df.withColumn("_h", h).withColumn(
+        "_b", F.floor(F.col("_h") / F.lit(chunk)).cast("long")
+    )
+    counts = df2.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_h", id_col)
+    return (
+        df2.join(F.broadcast(offsets), "_b")
+        .withColumn("shuffle_rank", F.row_number().over(w_in) + F.col("_off"))
+        .drop("_h", "_b", "_off")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

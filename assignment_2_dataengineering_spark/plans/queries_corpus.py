@@ -233,3 +233,319 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _TFIDF_TOPK)
         .drop("__rn")
     )
+
+
+@register(
+    "q_token_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    d AS (
+        SELECT doc_id,
+               list_filter(w, (x, i) -> list_position(w, x) = i) AS dd,
+               len(w) AS n_tokens
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(dd, ' ') AS dedup_text,
+           n_tokens,
+           len(dd) AS n_unique,
+           round(len(dd) / n_tokens, 4) AS unique_ratio
+    FROM d
+    """,
+    tags=("corpus", "dedup"),
+)
+def q_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving within-document token dedup (first occurrence
+    wins) — intra-doc repetition removal at word granularity, the
+    line/paragraph analog for this single-line corpus. Entirely per-row
+    codegen (functions/text.py:dedup_tokens_ordered): a lambda filter
+    keeping token i iff array_position == i+1, mirrored exactly by
+    DuckDB's 1-based list_filter/list_position. Two explode(array(x))
+    Generate barriers materialize the token array and the deduped array
+    so neither is recomputed per downstream reference. No shuffle at
+    all — this runs at scan speed over 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
+    )
+    dd = toks.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.explode(F.array(TX.dedup_tokens_ordered(F.col("__w")))).alias("__d"),
+    )
+    return dd.select(
+        "doc_id",
+        F.array_join("__d", " ").alias("dedup_text"),
+        "n_tokens",
+        F.size("__d").cast("long").alias("n_unique"),
+        F.round(F.size("__d") / F.col("n_tokens"), 4).alias("unique_ratio"),
+    )
+
+
+@register(
+    "q_boilerplate",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM words
+    ),
+    dfreq AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    common AS (SELECT gram FROM dfreq, tot WHERE df * 5 >= n_docs)
+    SELECT s.doc_id,
+           count(*) AS n_grams,
+           count(c.gram) AS n_common,
+           round(count(c.gram) / count(*), 4) AS boilerplate_ratio
+    FROM sh s LEFT JOIN common c ON s.gram = c.gram
+    GROUP BY 1
+    """,
+    tags=("corpus", "quality"),
+    bench=True,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate ratio per doc: the fraction of each
+    document's distinct word 3-grams that appear in ≥ 20% of all
+    documents (integer threshold df·5 ≥ n_docs — no decimal-vs-double
+    drift between engines). See operators/cleaning.py:boilerplate_scores
+    for the scale argument: the common set is pigeonhole-bounded to a
+    few hundred grams, so the flagging join is a broadcast regardless
+    of corpus size."""
+    from ..operators.cleaning import boilerplate_scores
+
+    d = T(spark, sf_dir, "documents")
+    return boilerplate_scores(d, "text", "doc_id", n=3, ratio_num=1, ratio_den=5)
+
+
+@register(
+    "q_ngram_topk",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM words
+    )
+    SELECT gram, count(*) AS n
+    FROM g GROUP BY 1
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """,
+    tags=("corpus", "text"),
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams — the frequency table behind
+    tokenizer / LM diagnostics. One map-side-combined count aggregation
+    then a 20-row TakeOrdered (deterministic ties: count desc, gram
+    asc); the full gram table never sorts globally. At 100 TB the
+    aggregation is the only shuffle and combines locally first."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
+    )
+    grams = toks.select(
+        F.explode(TX.shingles_from_tokens(F.col("__w"), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user' || doc_id ||
+               '@example.com or 10.0.' || (doc_id % 256) || '.42 call +61 2 9' ||
+               lpad(CAST(doc_id AS VARCHAR), 6, '0') || ' end' AS synth
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'),
+               '\\+?\\d[\\d\\- ]{7,}\\d', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(synth,
+               '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(synth,
+               '\\+?\\d[\\d\\- ]{7,}\\d')) AS BIGINT) AS n_phones
+    FROM s
+    """,
+    tags=("corpus", "quality"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py:pii_scrub): email / IPv4 /
+    phone spans replaced in one regexp_replace chain, plus per-type
+    match counts. The synthetic corpus contains no PII, so the query
+    plants a deterministic PII-bearing suffix (built identically in
+    both engines from doc_id) after a 40-char document prefix — the
+    oracle then verifies the Java-regex and RE2 engines agree on real
+    matches, not just on finding nothing. Scan-speed codegen; the
+    patterns live in the RE2 ∩ java.util.regex common subset."""
+    d = T(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".42 call +61 2 9"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(" end"),
+    )
+    s = d.select("doc_id", synth.alias("__synth"))
+    return s.select(
+        "doc_id",
+        TX.pii_scrub(F.col("__synth")).alias("redacted"),
+        TX.pattern_count(F.col("__synth"), TX.EMAIL_PATTERN).cast("long").alias("n_emails"),
+        TX.pattern_count(F.col("__synth"), TX.IPV4_PATTERN).cast("long").alias("n_ips"),
+        TX.pattern_count(F.col("__synth"), TX.PHONE_PATTERN).cast("long").alias("n_phones"),
+    )
+
+
+@register(
+    "q_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment from the id hash
+    (operators/sampling.py:split_label) — reproducible across runs,
+    partitionings, and engines, which is what keeps a held-out set
+    held out. Pure scan predicate: no shuffle, no state."""
+    from ..operators.sampling import hash_bucket, split_label
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).cast("long").alias("bucket"),
+        split_label(F.col("doc_id")).alias("split"),
+    )
+
+
+@register(
+    "q_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+           ) AS shuffle_rank
+    FROM documents
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/sampling.py:global_shuffle_rank): a reproducible
+    pseudo-random permutation rank over (lcg_hash(id), id). The naive
+    form is a single global row_number window — one partition holding
+    the whole corpus; the operator instead range-buckets by hash
+    (bucket monotone in hash, so concatenated bucket order IS the hash
+    order), broadcasts per-bucket prefix offsets (1024 longs), and
+    row_numbers within buckets distributed. The oracle is the naive
+    global window, proving the two-phase plan computes the identical
+    permutation."""
+    from ..operators.sampling import global_shuffle_rank
+
+    d = T(spark, sf_dir, "documents")
+    return global_shuffle_rank(d.select("doc_id"), "doc_id").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "q_chunk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS start,
+               generate_subscripts(range(1, len(w) + 1, {_CHUNK_STRIDE}), 1) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(w[start : start + {_CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           len(w[start : start + {_CHUNK_SIZE - 1}]) AS n_tokens
+    FROM c
+    """,
+    tags=("corpus", "packing"),
+)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context-window chunking with overlap — the tokenize-and-
+    chunk step that turns documents into training sequences: windows of
+    32 tokens every 24 (8-token overlap so no span is ever split
+    without context). Pure per-row codegen: sequence() of starts →
+    posexplode → slice; row count grows by len/stride but nothing
+    shuffles — at 100 TB this is a scan-speed map with output
+    partitioning inherited from the input. DuckDB mirrors slice
+    semantics exactly (1-based, end-inclusive, clamped ==
+    F.slice(w, start, size))."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
+    )
+    starts = F.sequence(F.lit(1), F.size("__w"), F.lit(_CHUNK_STRIDE))
+    ex = toks.select(
+        "doc_id", "__w", F.posexplode(starts).alias("__pos", "__start")
+    )
+    chunk = F.slice(F.col("__w"), F.col("__start"), _CHUNK_SIZE)
+    return ex.select(
+        "doc_id",
+        (F.col("__pos") + 1).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_upsample",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               1 + (CAST(substr(source, 4) AS INTEGER) % 3) AS repeats
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, repeats + 1)) AS BIGINT) AS copy_id
+    FROM r
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight upsampling: replicate each document `repeats`
+    times according to its source's mixing weight (here a deterministic
+    1–3× derived from the source id; production passes a weights map
+    the same way stratified_sample takes rates). explode(sequence())
+    row replication — no shuffle, no state; the downstream
+    global_shuffle_rank (q_shuffle_order) is what interleaves the
+    copies into training order. Epoch-style temperature sampling at
+    100 TB is exactly this map."""
+    d = T(spark, sf_dir, "documents")
+    rep = 1 + (F.substring("source", 4, 10).cast("int") % 3)
+    return d.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), rep)).alias("__c")
+    ).select("doc_id", "source", F.col("__c").cast("long").alias("copy_id"))

@@ -1,0 +1,115 @@
+"""Unit tests for the corpus-hygiene operators added in round 2:
+PII scrubbing, order-preserving token dedup, deterministic splits,
+two-phase global shuffle rank, and cross-document boilerplate scoring.
+
+The cross-engine (DuckDB) equivalence of the registered query forms is
+covered by test_oracle_parity; these tests pin the operator semantics
+on hand-built fixtures where the expected output is obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.functions import text as TX
+from assignment_2_dataengineering_spark.operators.cleaning import boilerplate_scores
+from assignment_2_dataengineering_spark.operators.sampling import (
+    global_shuffle_rank,
+    hash_bucket,
+    split_label,
+)
+
+
+def test_pii_scrub_redacts_each_type(spark):
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org now"),
+        (2, "server at 192.168.0.1 fell over"),
+        (3, "call +61 2 9374 4000 today"),
+        (4, "nothing sensitive here at all"),
+        (5, "a@b.co and 10.0.0.255 and 0412-345-678"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", TX.pii_scrub(F.col("t")).alias("s")).collect()
+    }
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "server at [IP] fell over"
+    assert out[3] == "call [PHONE] today"
+    assert out[4] == "nothing sensitive here at all"
+    assert out[5] == "[EMAIL] and [IP] and [PHONE]"
+
+
+def test_dedup_tokens_ordered_keeps_first_occurrence(spark):
+    df = spark.createDataFrame([(1, "b a b c a b")], "id long, t string")
+    toks = df.select(
+        "id", F.explode(F.array(TX.tokens_ws(F.col("t")))).alias("w")
+    )
+    r = toks.select(TX.dedup_tokens_ordered(F.col("w")).alias("d")).first()
+    assert r["d"] == ["b", "a", "c"]
+
+
+def test_split_label_fractions_and_determinism(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    lab = df.select(split_label(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["n"] for r in lab.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 10_000
+    # 98/1/1 within generous tolerance for an LCG over a contiguous range
+    assert 9_500 <= counts["train"] <= 9_950
+    assert 20 <= counts.get("val", 0) <= 300
+    assert 20 <= counts.get("test", 0) <= 300
+    # identical assignment on a rerun (pure function of the id)
+    again = {
+        r["s"]: r["n"]
+        for r in df.select(split_label(F.col("doc_id")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == counts
+    # split is consistent with hash_bucket ranges
+    one = df.filter(F.col("doc_id") == 7).select(
+        hash_bucket(F.col("doc_id")).alias("b"), split_label(F.col("doc_id")).alias("s")
+    ).first()
+    expected = "train" if one["b"] < 98 else ("val" if one["b"] < 99 else "test")
+    assert one["s"] == expected
+
+
+def test_global_shuffle_rank_matches_naive_window(spark):
+    df = spark.range(0, 2_000).withColumnRenamed("id", "doc_id")
+    two_phase = global_shuffle_rank(df, "doc_id").select("doc_id", "shuffle_rank")
+    h = (F.col("doc_id").cast("long") * 1103515245 + 12345) % 2_147_483_648
+    naive = df.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(h, "doc_id")).alias("naive_rank"),
+    )
+    joined = two_phase.join(naive, "doc_id")
+    assert joined.filter(F.col("shuffle_rank") != F.col("naive_rank")).count() == 0
+    # rank is a permutation of 1..N
+    agg = joined.agg(
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.countDistinct("shuffle_rank").alias("d"),
+    ).first()
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, 2_000, 2_000)
+
+
+def test_boilerplate_scores_flags_planted_template(spark):
+    # 10 docs: all contain the template trigram "cookie banner text";
+    # only doc 0 also has a unique trigram tail long enough to score < 1.
+    template = "cookie banner text"
+    rows = [(i, f"{template} filler{i} words{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scores(df, "text", "doc_id", n=3, ratio_num=1, ratio_den=5).collect()
+    }
+    assert len(out) == 10
+    for i in range(10):
+        # every doc's gram set includes the template trigram, which
+        # appears in 10/10 >= 1/5 of docs -> counted common
+        assert out[i]["n_common"] >= 1
+        # the fillerN tail grams are unique to each doc -> not common
+        assert out[i]["n_common"] < out[i]["n_grams"]
+        assert 0.0 < out[i]["boilerplate_ratio"] < 1.0
