@@ -107,3 +107,48 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan: same pushdown/pruning behavior as the Parquet path
     (predicate pushdown + column pruning reach the ORC reader)."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction — the standing maintenance job of any 100 TB
+    lake (streaming sinks and per-task writers leave thousands of
+    KB-sized files whose open/footer overhead dominates scan time).
+
+    Rewrites `df` into ceil(n / target_rows_per_file) evenly-sized
+    files. With `cluster_by`, data is range-partitioned and sorted on
+    those keys so each output file owns a contiguous key range —
+    parquet min/max stats then let later scans skip whole files
+    (poor-man's clustering index). Without it, round-robin repartition
+    gives uniform file sizes. `maxRecordsPerFile` is set as well so a
+    skewed range bucket still splits rather than producing one huge
+    file. Returns the file count. The one count() action is the
+    planner's sizing input, not a hot-path collect."""
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    if cluster_by:
+        out = df.repartitionByRange(files, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        out = df.repartition(files)
+    out.write.option("maxRecordsPerFile", target_rows_per_file).mode(mode).parquet(path)
+    return files
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-media ingest via Spark's binaryFile source: one row per
+    file with (path, modificationTime, length, content-as-binary) —
+    the entry point that turns a directory of images/audio/video into
+    the engine's media-table shape (operators/multimodal.as_media_table
+    consumes the binary column). `pathGlobFilter` prunes at listing
+    time, before any byte is read; binaryFile splits per-file, so
+    parallelism = file count — pack small media into few large
+    containers (or parquet binary columns) before running wide jobs."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
