@@ -46,6 +46,13 @@ def boilerplate_scores(
     Token arrays are materialized behind an explode(array(x)) Generate
     barrier (operators/dedup.py:_with_shingle_set) so the n-gram
     builder's element_at references don't re-split the text per gram.
+
+    Plan honesty: the (doc, gram) index appears twice in the plan (the
+    doc-frequency branch and the flagging branch) because Catalyst does
+    not share common subtrees — the text is scanned and shingled twice.
+    A production run at 100 TB should `.persist(DISK_ONLY)` the gram
+    index between the two passes (or write it once and read it back);
+    the operator stays declarative here so it composes as a pure plan.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array(TX.tokens_ws(F.col(text_col)))).alias("__w")
