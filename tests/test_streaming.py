@@ -464,3 +464,52 @@ def test_replay_stream_datasource(spark, tmp_path_factory, event_lines):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path_factory, event_lines):
+    """Crash/deploy recovery: a query processes half the replay into a
+    parquet file sink and stops; more files land while it is down; a
+    NEW query object with the SAME checkpoint + sink path resumes and
+    processes only the unseen files. The checkpoint's source offsets +
+    the file sink's transaction log make the final sink identical (as a
+    multiset) to one uninterrupted run — Structured Streaming's
+    end-to-end exactly-once contract, which replaces the reference's
+    QoS-1 at-least-once + client dedup (SURVEY §2.9 T8)."""
+    import os
+
+    src = str(tmp_path_factory.mktemp("replay_restart"))
+    out = str(tmp_path_factory.mktemp("restart_out"))
+    ckpt = str(tmp_path_factory.mktemp("restart_ckpt"))
+    half = len(event_lines) // 2
+    replay.write_replay_chunks(event_lines[:half], src, events_per_file=100)
+
+    def run_once():
+        stream = replay.file_replay_stream(spark, src, max_files_per_trigger=10)
+        fac = ingest.facility_branch(ingest.parse_events(stream))
+        q = (
+            fac.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 > 0
+
+    # new chunks arrive while the query is down
+    late = os.path.join(src, "chunk-late.jsonl")
+    with open(late, "w") as f:
+        f.write("\n".join(event_lines[half:]) + "\n")
+
+    run_once()  # restart: same checkpoint, fresh query object
+
+    got = spark.read.parquet(out)
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    want = ingest.facility_branch(ingest.parse_events(raw))
+    assert got.count() == want.count() > n_phase1
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
