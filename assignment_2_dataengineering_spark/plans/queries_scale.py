@@ -136,3 +136,47 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_nulls, min_val, max_val, avg_val, stddev_val)"
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_sql
+
+    z = zorder_sql("l_partkey", "l_suppkey", "mn_a", "mx_a", "mn_b", "mx_b")
+    return f"""
+    WITH mm AS (
+        SELECT min(l_partkey) AS mn_a, max(l_partkey) AS mx_a,
+               min(l_suppkey) AS mn_b, max(l_suppkey) AS mx_b
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, {z} AS zkey
+    FROM lineitem, mm
+    """
+
+
+@register(
+    "q_zorder",
+    oracle=_zorder_oracle(),
+    tags=("scale", "layout"),
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    rank-normalize each key to 16 bits against broadcast min/max, then
+    bit-interleave — the write-time layout key that makes parquet
+    min/max stats prune files for BOTH dimensions
+    (operators/layout.py; file-skip demonstrated in
+    tests/test_io_scale.py). Pure integer codegen, one broadcast of a
+    1-row min/max aggregate, no shuffle; the oracle reproduces the key
+    bit-for-bit via the same exact-integer arithmetic."""
+    from ..operators.layout import rank_scale, zvalue2
+
+    li = T(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_partkey").alias("mn_a"),
+        F.max("l_partkey").alias("mx_a"),
+        F.min("l_suppkey").alias("mn_b"),
+        F.max("l_suppkey").alias("mx_b"),
+    )
+    j = li.crossJoin(F.broadcast(mm))
+    ra = rank_scale(F.col("l_partkey"), F.col("mn_a"), F.col("mx_a"))
+    rb = rank_scale(F.col("l_suppkey"), F.col("mn_b"), F.col("mx_b"))
+    return j.select("l_orderkey", "l_linenumber", zvalue2(ra, rb).alias("zkey"))
