@@ -1,0 +1,66 @@
+"""Grouped matrix decomposition via applyInPandas — the non-stateful
+grouped-map seam of the UDF tier (SURVEY.md §2.10), alongside scalar
+pandas_udf, mapInPandas, applyInPandasWithState, and the Python UDTF.
+
+Per-group PCA is the canonical "Spark genuinely can't express this"
+operator: SVD is iterative linear algebra, not relational algebra. The
+right distributed shape is groupBy(key).applyInPandas — each group's
+matrix fits one executor (a mixture-component / per-source embedding
+population, thousands×dims), Arrow moves it in batches, numpy/LAPACK
+does the math at native speed. What does NOT scale is one global PCA
+over all rows this way (single group = single task) — for that, use
+per-partition Gram-matrix partial sums reduced on the driver (the
+train_centroids pattern, operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_pca(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> DataFrame:
+    """Top-k principal components per group: one output row per
+    (group, component) with the unit component vector and its explained
+    variance ratio.
+
+    Determinism: rows are sorted by `id_col` before stacking (Arrow
+    batch order is not stable across shuffles) and each component's
+    sign is fixed so its largest-magnitude coordinate is positive —
+    LAPACK is then bit-deterministic for a given group. Groups with
+    fewer rows than components emit what rank allows.
+    """
+    out_schema = (
+        f"{group_col} int, component int, explained_ratio double, vector array<double>"
+    )
+
+    def pca(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0, keepdims=True)
+        _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+        total = float((s**2).sum()) or 1.0
+        rows = []
+        for i in range(min(k, vt.shape[0])):
+            v = vt[i]
+            j = int(np.abs(v).argmax())
+            if v[j] < 0:
+                v = -v
+            rows.append(
+                {
+                    group_col: pdf[group_col].iloc[0],
+                    "component": i,
+                    "explained_ratio": float(s[i] ** 2 / total),
+                    "vector": v.tolist(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.groupBy(group_col).applyInPandas(pca, out_schema)

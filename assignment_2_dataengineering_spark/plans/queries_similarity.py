@@ -135,3 +135,20 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = SIM.pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return SIM.pq_topk_reranked(q, emb, codes, books, k=_TOP_K, shortlist=50)
+
+
+@register(
+    "q_grouped_pca",
+    oracle=None,  # SVD is not SQL-expressible; invariants in tests/test_decompose.py
+    tags=("similarity", "udf"),
+)
+def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding population of each
+    label group (operators/decompose.py grouped_pca): the grouped-map
+    applyInPandas seam — sorted-stack determinism, sign-fixed LAPACK
+    SVD, one Arrow round-trip per group. Scale shape: per-group
+    matrices on executors, never a global single-task SVD."""
+    from ..operators.decompose import grouped_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return grouped_pca(emb, "label", "embedding", "vec_id", k=2)
