@@ -167,3 +167,32 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_disc,
+           round(var_samp(l_tax), 6) AS var_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per return flag: Pearson correlation,
+    sample covariance/stddev/variance — the statistical-profile family
+    (CORR/COVAR/STDDEV) beyond q_profile's min/max/mean scan. All are
+    single-pass co-moment aggregations (map-side partials, one
+    shuffle); rounding absorbs the engines' different accumulation
+    orders."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+    )

@@ -1,0 +1,60 @@
+"""Physical-plan pins for scan efficiency: predicate pushdown, column
+pruning, and join-strategy assertions on the TPC-H tier. These are the
+SCALE.md claims expressed as tests — a plan that silently regresses to
+full-schema scans or shuffle-joins-the-dims fails here long before a
+benchmark would notice at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from assignment_2_dataengineering_spark.plans.registry import all_specs
+
+
+def _physical(spark, name, sf_dir):
+    df = all_specs()[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q1", sf_dir)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # exactly the aggregate's inputs — no keys, no junk columns
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, cols
+
+
+def test_tpch_q3_pushes_both_date_filters(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q3", sf_dir)
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan)
+    assert "TakeOrderedAndProject" in plan  # top-10 never sorts globally
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q5", sf_dir)
+    # nation⋈region and supplier ride broadcast, never a shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan)
+
+
+@pytest.mark.parametrize("name", ["q_token_dedup", "q_chunk", "q_pii_redact", "q_hash_split"])
+def test_corpus_scan_ops_have_no_exchange(spark, name, sf_dir):
+    """The per-row corpus tier must stay shuffle-free: no Exchange
+    operator anywhere in the physical plan."""
+    plan = _physical(spark, name, sf_dir)
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
