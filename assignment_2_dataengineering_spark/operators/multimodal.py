@@ -72,6 +72,31 @@ def as_media_table(docs: DataFrame, fmt: str = "raw") -> DataFrame:
     )
 
 
+def media_from_binary_files(files: DataFrame, fmt: str = "raw", frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """The production entry as_media_table's docstring promises: adapt
+    `sources.io.read_binary_files` rows (path, content, length, mtime)
+    into the engine's media-table shape. doc_id = xxhash64(path) so ids
+    are stable across reruns and listing order; geometry derives from
+    byte length (a real header probe plugs in at the decode seam —
+    decode_payload — without touching this adapter). Downstream
+    operators (sample_frames / extract_features / resize_images) run
+    unchanged on the result."""
+    return files.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(fmt).alias("format"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.greatest(F.floor(F.col("length") / frame_bytes), F.lit(1))
+            .cast("int")
+            .alias("n_frames"),
+            F.lit(frame_bytes).cast("int").alias("frame_bytes"),
+            F.lit(16_000).alias("sample_rate_hz"),
+        ).alias("media"),
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling (audio chunking is the identical op with
     frame_bytes = samples-per-chunk × bytes-per-sample): keep every

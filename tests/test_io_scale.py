@@ -145,3 +145,39 @@ def test_zorder_clustering_skips_files_on_both_dims(spark, tmp_path):
     )
     assert y_only_linear == l_total  # x-sorted files cannot skip on y
     assert y_only_z <= z_total // 2  # z-clustered files can
+
+
+def test_binaryfile_to_media_pipeline_end_to_end(spark, tmp_path):
+    """The full multimodal ingest path: directory of opaque files →
+    binaryFile scan → media table → Arrow-batched feature extraction.
+    Feature values must equal the numpy model of the raw bytes."""
+    from assignment_2_dataengineering_spark.operators.multimodal import (
+        extract_features,
+        media_from_binary_files,
+    )
+    from assignment_2_dataengineering_spark.sources.io import read_binary_files
+
+    media_dir = tmp_path / "bin_media"
+    media_dir.mkdir()
+    payloads = {f"m{i}.raw": bytes(range(i, i + 32)) for i in range(3)}
+    for name, data in payloads.items():
+        (media_dir / name).write_bytes(data)
+
+    files = read_binary_files(spark, str(media_dir), glob="*.raw")
+    media = media_from_binary_files(files)
+    assert media.columns == ["doc_id", "payload", "media"]
+    # ids stable across two independent listings
+    ids_a = sorted(r["doc_id"] for r in media.select("doc_id").collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in media_from_binary_files(
+            read_binary_files(spark, str(media_dir), glob="*.raw")
+        ).select("doc_id").collect()
+    )
+    assert ids_a == ids_b and len(set(ids_a)) == 3
+
+    feats = {r["byte_sum"]: r for r in extract_features(media).collect()}
+    for data in payloads.values():
+        r = feats[sum(data)]
+        assert r["n_bytes"] == 32
+        assert abs(r["byte_mean"] - sum(data) / 32) < 1e-9
