@@ -1,0 +1,42 @@
+"""One-pass data-quality observation (SURVEY.md §2.11 extension).
+
+The reference asserts data quality with separate pandas passes
+(extractor.py:227-ff cited at sources/extract.py); a second scan of a
+100 TB input to count nulls is a cost nobody pays twice. Spark's
+`Observation` attaches accumulator-backed aggregate metrics to a plan:
+they are collected DURING the action that runs the query anyway — zero
+extra scans, exact counts, available on the driver the moment the
+action finishes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def with_quality_observation(
+    df: DataFrame,
+    not_null: list[str] = (),
+    non_negative: list[str] = (),
+    extra: dict[str, Column] | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Attach row-count / null-count / negative-count metrics to `df`.
+    Returns (observed_df, observation); run any action on observed_df
+    (or a downstream plan that consumes every row of it), then read
+    `observation.get` — e.g. {'n_rows': …, 'null_ts': …, 'neg_value': …}.
+    Counts are exact (accumulators merge per task, no sampling).
+    """
+    metrics: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    for c in non_negative:
+        metrics.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"neg_{c}")
+        )
+    for name, col in (extra or {}).items():
+        metrics.append(col.alias(name))
+    obs = Observation()
+    return df.observe(obs, *metrics), obs

@@ -180,3 +180,48 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = rank_scale(F.col("l_partkey"), F.col("mn_a"), F.col("mx_a"))
     rb = rank_scale(F.col("l_suppkey"), F.col("mn_b"), F.col("mx_b"))
     return j.select("l_orderkey", "l_linenumber", zvalue2(ra, rb).alias("zkey"))
+
+
+_HIST_BINS = 10
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    WITH mm AS (
+        SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    )
+    SELECT LEAST(((n_chars - mn) * {_HIST_BINS}) // (mx - mn + 1), {_HIST_BINS - 1}) AS bin,
+           count(*) AS n,
+           min(n_chars) AS lo,
+           max(n_chars) AS hi
+    FROM documents, mm
+    GROUP BY 1
+    """,
+    tags=("scale", "profile"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of document length: 10 bins over the
+    observed [min, max], all integer arithmetic (exact in both
+    engines — operators/layout.py intdiv). One 1-row min/max broadcast
+    + one map-side-combined count: two scans or one-plus-cached at
+    100 TB, never a sort. The per-bin observed lo/hi double as the
+    bin-boundary check."""
+    from ..operators.layout import intdiv
+
+    d = T(spark, sf_dir, "documents")
+    mm = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    j = d.crossJoin(F.broadcast(mm))
+    bin_ = F.least(
+        intdiv((F.col("n_chars") - F.col("mn")) * _HIST_BINS, F.col("mx") - F.col("mn") + 1),
+        F.lit(_HIST_BINS - 1).cast("long"),
+    )
+    return (
+        j.select(bin_.alias("bin"), "n_chars")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )

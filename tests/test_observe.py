@@ -1,0 +1,53 @@
+"""Observation metrics: exact one-pass quality counters that ride the
+action already being run — verified against explicit second-pass
+aggregation on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.operators.observe import with_quality_observation
+from assignment_2_dataengineering_spark.sources.tables import load_table
+
+
+def test_observation_matches_second_pass(spark):
+    rows = [
+        (1, 10.0, "a"),
+        (2, -3.0, None),
+        (3, None, "c"),
+        (4, -1.0, None),
+        (5, 7.5, "e"),
+    ]
+    df = spark.createDataFrame(rows, "id long, value double, tag string")
+    observed, obs = with_quality_observation(
+        df,
+        not_null=["value", "tag"],
+        non_negative=["value"],
+        extra={"sum_value": F.round(F.sum("value"), 2)},
+    )
+    # the metric rides the consuming action — here a filter+count that
+    # still scans every row
+    assert observed.count() == 5
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["null_value"] == 1
+    assert got["null_tag"] == 2
+    assert got["neg_value"] == 2
+    assert got["sum_value"] == 13.5
+
+
+def test_observation_on_real_table_pipeline(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = with_quality_observation(ev, not_null=["ts", "user_id"], non_negative=["value"])
+    # downstream aggregation consumes all rows; no second scan happens
+    n_types = observed.select("event_type").distinct().count()
+    assert n_types >= 1
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("null_ts"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+    ).first()
+    assert got["n_rows"] == want["n"]
+    assert got["null_ts"] == want["null_ts"]
+    assert got["neg_value"] == want["neg_value"]
