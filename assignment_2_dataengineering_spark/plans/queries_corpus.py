@@ -549,3 +549,90 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", F.explode(F.sequence(F.lit(1), rep)).alias("__c")
     ).select("doc_id", "source", F.col("__c").cast("long").alias("copy_id"))
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                   '\\b\\d{{1,3}}(\\.\\d{{1,3}}){{3}}\\b', '[IP]', 'g'),
+                   '\\+?\\d[\\d\\- ]{{7,}}\\d', '[PHONE]', 'g') AS text,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 5000
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ),
+    train AS (
+        SELECT doc_id, text
+        FROM deduped
+        WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 98
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+    chunks AS (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS start,
+               generate_subscripts(range(1, len(w) + 1, {_CHUNK_STRIDE}), 1) AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(w[start : start + {_CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           len(w[start : start + {_CHUNK_SIZE - 1}]) AS n_tokens
+    FROM chunks
+    """,
+    tags=("corpus", "pipeline"),
+    bench=True,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-data pipeline as ONE Catalyst plan:
+    length gate → PII scrub → canonical-fingerprint exact dedup (keep
+    lowest doc_id per fingerprint) → deterministic 98% train split →
+    32/24 context-window chunking. Everything before the dedup window
+    is per-row codegen; the dedup is the pipeline's single shuffle
+    (hash-partition by 16-byte fingerprint); split + chunk are again
+    shuffle-free, so the whole corpus-to-training-sequences path costs
+    ONE exchange at 100 TB. The oracle replays the identical five
+    stages in SQL — the hash match certifies the composition, not just
+    each stage alone."""
+    from ..operators.sampling import hash_bucket
+
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars").between(100, 5000))
+    scrubbed = d.select(
+        "doc_id",
+        TX.pii_scrub(F.col("text")).alias("text"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    train = deduped.filter(hash_bucket(F.col("doc_id")) < 98)
+    toks = train.select(
+        "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
+    )
+    ex = toks.select(
+        "doc_id",
+        "__w",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("__w"), F.lit(_CHUNK_STRIDE))
+        ).alias("__pos", "__start"),
+    )
+    chunk = F.slice(F.col("__w"), F.col("__start"), _CHUNK_SIZE)
+    return ex.select(
+        "doc_id",
+        (F.col("__pos") + 1).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

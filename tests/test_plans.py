@@ -58,3 +58,12 @@ def test_corpus_scan_ops_have_no_exchange(spark, name, sf_dir):
     operator anywhere in the physical plan."""
     plan = _physical(spark, name, sf_dir)
     assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_corpus_pipeline_single_exchange(spark, sf_dir):
+    """q_corpus_pipeline's claim: corpus → training sequences in ONE
+    shuffle (the fingerprint-dedup hash partition). Every other stage
+    must stay narrow."""
+    plan = _physical(spark, "q_corpus_pipeline", sf_dir)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
