@@ -198,6 +198,76 @@ def bucket_pairs(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket assignments — the narrow (no
+    shuffle) banding stage of minhash_lsh_pairs, exposed so incremental
+    consumers (streaming dedup index) can persist bucket rows and probe
+    them later. Band hashes come straight from the per-hash minhash
+    expressions over the once-materialized base-hash array (see
+    _with_shingle_hashes / _minhash_exprs for the fan-out rationale)."""
+    rows = num_hashes // bands
+    shd = _with_shingle_hashes(df, text_col, id_col, n, seed)
+    mh = _minhash_exprs(num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*mh[b * rows : (b + 1) * rows]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return shd.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def verify_pairs_exact(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against the shingle sets of `docs` — only docs appearing in a
+    candidate pair are re-shingled (left-semi restriction), so the
+    cost is |candidates|, never |corpus| (the whole point of LSH —
+    see minhash_lsh_pairs)."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sh = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    )
+    a_sh = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    return (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, F.round(F.col("shared") / union, 4)).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -231,57 +301,13 @@ def minhash_lsh_pairs(
     """
     if parallelism is not None:
         df = df.repartition(parallelism)
-    rows = num_hashes // bands
-    # band hashes straight from the per-hash minhash exprs (each
-    # referenced once — see _minhash_exprs for why not element_at(sig))
-    # over the once-materialized base-hash array (_with_shingle_hashes).
-    shd = _with_shingle_hashes(df, text_col, id_col, n, seed)
-    mh = _minhash_exprs(num_hashes)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*mh[b * rows : (b + 1) * rows]).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = shd.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = band_buckets(df, text_col, id_col, n, num_hashes, bands, seed)
     candidates = bucket_pairs(buckets, id_col, max_bucket_size)
-    # Verify ONLY the candidates: join each pair to its two shingle
-    # sets and compute exact Jaccard with array_intersect. Verifying
-    # via the full inverted-index self-join (ngram_jaccard_pairs at
-    # threshold 0) would score every pair in the corpus and erase
-    # LSH's entire complexity win — at sf0.1 that's the difference
-    # between ~3 s and ~200 s, and at 100 TB between feasible and not.
-    # The semi-join restricts the shingle recomputation to docs that
-    # actually appear in a candidate pair (AQE broadcasts the id set
-    # when small), instead of re-shingling the whole corpus.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    doc_sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
-    )
-    a_sh = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b_sh = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - shared
-    return (
-        candidates.join(a_sh, "id_a")
-        .join(b_sh, "id_b")
-        .withColumn("shared", shared)
-        .withColumn(
-            "jaccard",
-            F.when(union > 0, F.round(F.col("shared") / union, 4)).otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # Verify ONLY the candidates (verify_pairs_exact): scoring every
+    # pair via the full inverted-index self-join (ngram_jaccard_pairs
+    # at threshold 0) would erase LSH's entire complexity win — at
+    # sf0.1 that's ~3 s vs ~200 s, at 100 TB feasible vs not.
+    return verify_pairs_exact(candidates, df, text_col, id_col, n, threshold)
 
 
 def dedup_clusters(

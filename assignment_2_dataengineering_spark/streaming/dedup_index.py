@@ -1,0 +1,124 @@
+"""Incremental near-duplicate detection against a persisted LSH index —
+the continuously-crawled-corpus dedup shape: documents arrive in
+micro-batches and each batch is checked against EVERYTHING seen so far
+without ever re-scoring the historical corpus.
+
+Per batch (a foreachBatch worker, so it composes with any streaming
+source):
+  1. band the new docs (operators/dedup.band_buckets — narrow, no
+     shuffle);
+  2. probe the persisted bucket table for rows sharing a (band, bucket)
+     with the batch — a semi-join that touches only colliding history,
+     never the full index;
+  3. expand candidates (bucket_pairs — skew-capped, no self-join) and
+     keep pairs with ≥ 1 new doc (old-old pairs were already reported
+     in the batch that introduced them);
+  4. verify with exact Jaccard (verify_pairs_exact) over the new docs +
+     only the colliding old docs;
+  5. append: bucket rows + doc texts to the index, confirmed pairs to
+     the pairs log.
+
+Exactly-once: foreachBatch re-runs a batch after failures, so the
+worker records the last applied batch_id and turns replays into
+no-ops (the same high-water-mark idempotence the engine's
+merge-upsert sink uses). State growth is the bucket table (bands
+rows/doc, 24 B each) and the doc store — at 100 TB both are
+date-partitioned parquet compacted by io.compact_parquet; the probe
+stays cheap because it is keyed on (band, bucket).
+
+No reference analog (the reference dedups only within its 5000-event
+buffer, readme.md:157); this is the engine's LLM-pipeline tier meeting
+its streaming tier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import band_buckets, bucket_pairs, verify_pairs_exact
+
+_META = "_last_batch.json"
+
+
+def _read_or_none(spark, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def incremental_near_dup_batch(
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+    max_bucket_size: int | None = 64,
+):
+    """Returns the (batch_df, batch_id) foreachBatch worker described in
+    the module docstring. Layout under `index_dir`: buckets/ docs/
+    pairs/ plus a batch high-water-mark for replay idempotence."""
+    buckets_path = os.path.join(index_dir, "buckets")
+    docs_path = os.path.join(index_dir, "docs")
+    pairs_path = os.path.join(index_dir, "pairs")
+    meta_path = os.path.join(index_dir, _META)
+
+    def worker(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if batch_id <= json.load(f)["last_batch"]:
+                    return  # replayed batch — already applied
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col)
+
+        new_buckets = band_buckets(
+            batch_df, text_col, id_col, n, num_hashes, bands, seed
+        )
+        old_buckets = _read_or_none(spark, buckets_path)
+        old_docs = _read_or_none(spark, docs_path)
+
+        if old_buckets is not None:
+            colliding_old = old_buckets.join(
+                new_buckets.select("band", "bucket").distinct(),
+                ["band", "bucket"],
+                "left_semi",
+            )
+            probe = new_buckets.unionByName(colliding_old)
+        else:
+            probe = new_buckets
+
+        candidates = bucket_pairs(probe, id_col, max_bucket_size)
+        new_ids = batch_df.select(F.col(id_col).alias("id_a")).distinct()
+        candidates = candidates.join(
+            new_ids.unionByName(
+                batch_df.select(F.col(id_col).alias("id_b")).distinct(),
+                allowMissingColumns=True,
+            ).select(
+                F.coalesce("id_a", "id_b").alias("_new_id")
+            ).distinct(),
+            (F.col("id_a") == F.col("_new_id")) | (F.col("id_b") == F.col("_new_id")),
+            "left_semi",
+        )
+
+        corpus = batch_df if old_docs is None else batch_df.unionByName(old_docs)
+        confirmed = verify_pairs_exact(
+            candidates, corpus, text_col, id_col, n, threshold
+        )
+        confirmed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_path
+        )
+        new_buckets.write.mode("append").parquet(buckets_path)
+        batch_df.write.mode("append").parquet(docs_path)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch": batch_id}, f)
+        os.replace(tmp, meta_path)
+
+    return worker
