@@ -94,13 +94,19 @@ def range_join(
     wobble). Column names must be disjoint across the two sides."""
     tol_us = int(tolerance_s) * 1_000_000
     on = on or []
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / tol_us)
-    rb = F.floor(F.unix_micros(F.col(right_ts)) / tol_us)
+
+    # unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers from
+    # tz-naive parquet); cast through TIMESTAMP first — the session tz
+    # is pinned UTC (sources/tables.py _pin_utc) so the reinterpretation
+    # is deterministic, and the cast is a no-op for LTZ inputs.
+    def _us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    lb = F.floor(_us(left_ts) / tol_us)
+    rb = F.floor(_us(right_ts) / tol_us)
     l2 = left.withColumn("__b", lb)
     r2 = right.withColumn("__b", F.explode(F.array(rb - 1, rb, rb + 1)))
-    within = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))) <= tol_us
-    )
+    within = F.abs(_us(left_ts) - _us(right_ts)) <= tol_us
     return l2.join(r2, on + ["__b"]).filter(within).drop("__b")
 
 

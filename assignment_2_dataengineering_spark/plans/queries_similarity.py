@@ -147,8 +147,20 @@ def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     label group (operators/decompose.py grouped_pca): the grouped-map
     applyInPandas seam — sorted-stack determinism, sign-fixed LAPACK
     SVD, one Arrow round-trip per group. Scale shape: per-group
-    matrices on executors, never a global single-task SVD."""
+    matrices on executors, never a global single-task SVD.
+
+    The registered result posexplodes the component vector into scalar
+    (label, component, dim, loading) rows: the driver's rows-only
+    canonicalizer sorts result columns pandas-side, and array cells are
+    unhashable there — scalar projection keeps the check meaningful
+    (it pins k×dim rows per group, not an opaque array blob)."""
     from ..operators.decompose import grouped_pca
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return grouped_pca(emb, "label", "embedding", "vec_id", k=2)
+    comps = grouped_pca(emb, "label", "embedding", "vec_id", k=2)
+    return comps.select(
+        "label",
+        "component",
+        F.round("explained_ratio", 6).alias("explained_ratio"),
+        F.posexplode("vector").alias("dim", "loading"),
+    ).withColumn("loading", F.round("loading", 6))
