@@ -9,8 +9,22 @@ a pipeline that backfills or attributes needs the set-based form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _as_ts(col: str | Column) -> Column:
+    # unix_micros / cast-to-long reject TIMESTAMP_NTZ (what Spark 4
+    # infers from tz-naive parquet); route through TIMESTAMP first —
+    # the session tz is pinned UTC (sources/tables.py _pin_utc) so the
+    # reinterpretation is deterministic, and it is a no-op for LTZ.
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
+
+
+def _us(col: str | Column) -> Column:
+    """Integer epoch microseconds, NTZ-tolerant."""
+    return F.unix_micros(_as_ts(col))
 
 
 def asof_join(
@@ -94,14 +108,6 @@ def range_join(
     wobble). Column names must be disjoint across the two sides."""
     tol_us = int(tolerance_s) * 1_000_000
     on = on or []
-
-    # unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers from
-    # tz-naive parquet); cast through TIMESTAMP first — the session tz
-    # is pinned UTC (sources/tables.py _pin_utc) so the reinterpretation
-    # is deterministic, and the cast is a no-op for LTZ inputs.
-    def _us(col: str):
-        return F.unix_micros(F.col(col).cast("timestamp"))
-
     lb = F.floor(_us(left_ts) / tol_us)
     rb = F.floor(_us(right_ts) / tol_us)
     l2 = left.withColumn("__b", lb)
@@ -187,7 +193,7 @@ def sessionize(
     flagged = events.withColumn(
         "__new_session",
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap_s,
+            _as_ts(ts_col).cast("long") - F.lag(_as_ts(ts_col).cast("long")).over(w) > gap_s,
             1,
         )
         .otherwise(0)
@@ -205,6 +211,6 @@ def sessionize(
         )
         .withColumn(
             "duration_s",
-            F.col("session_end").cast("long") - F.col("session_start").cast("long"),
+            _as_ts("session_end").cast("long") - _as_ts("session_start").cast("long"),
         )
     )

@@ -165,3 +165,76 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact[1], 4).alias("p95_exact"),
         F.round(exact[2], 4).alias("p99_exact"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (q_rollup, q_cube cover the sugared shapes): the exact (flag,
+    status), flag-only, and status-only marginals in ONE aggregation
+    pass. Spark expands the sets with a single Expand node feeding one
+    hash aggregate — the fact table is scanned once, not three times;
+    grouping() disambiguates NULL-as-ALL from NULL-as-value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """)
+
+
+@register(
+    "q_window_nav",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(value) OVER w, 2) AS first_val,
+           round(nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS third_val,
+           round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_val
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution (percent_rank, cume_dist) and navigation
+    (first/nth/last_value) window functions — the remaining analytic
+    family beyond q_analytic_window's ranking/offset/frame trio. All
+    five share one (user_id)-partitioned ordered window → a single
+    exchange + local sort; the nth/last frames are pinned to the FULL
+    partition (default frames stop at CURRENT ROW, a classic
+    cross-engine divergence this query pins deliberately)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+        F.round(F.nth_value("value", 3).over(wfull), 2).alias("third_val"),
+        F.round(F.last("value").over(wfull), 2).alias("last_val"),
+    )

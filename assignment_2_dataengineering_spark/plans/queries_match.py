@@ -1,0 +1,102 @@
+"""Approximate matching and semi-structured extraction — two surfaces
+a production analytics engine is expected to carry that the reference
+schema exercises naturally:
+
+- blocked fuzzy matching (edit-distance entity resolution) over part
+  names: the string-similarity sibling of the dedup tier's set/vector
+  similarity operators (operators/dedup.py, operators/similarity.py);
+- JSON path extraction over the events.props payload column — the
+  reference parses nested JSON payloads imperatively
+  (extractor.py:229-235 hand-copies fields out of dicts); here the
+  same reach-into-payload is a codegen expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY edit_dist, name_a, name_b
+    """,
+    tags=("match", "dedup"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching: near-identical part names
+    (levenshtein ≤ 3) found WITHOUT the all-pairs cross product. The
+    plan distincts names first (64 survive from 2k rows here; the same
+    distinct-first shape is what makes 100 TB viable when the name
+    domain is far smaller than the fact table), blocks on the head
+    noun, and only intra-block pairs pay the edit-distance kernel —
+    the string twin of minhash banding: candidate generation by cheap
+    equality, exact verification on candidates only. levenshtein() is
+    a JVM builtin, no Python in the loop."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "scan"),
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload string, aggregated
+    per event type. get_json_object compiles to a JVM JSON path walk
+    inside whole-stage codegen — the declarative replacement for the
+    reference's payload.get(...) dict-walking (extractor.py:229-235).
+    One scan, one partial-aggregated shuffle on a 4-value key; at
+    100 TB prefer from_json into a typed struct ONCE at ingest (see
+    streaming/ingest.py) over per-query path walks, which this query's
+    single-pass shape demonstrates is still scan-bound when ad hoc."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+            F.round(F.avg(k), 4).alias("k_avg"),
+            F.sum(F.when(k >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -196,3 +196,446 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to this schema's
+    columns (no l_commitdate/l_receiptdate; the EXISTS probe is
+    "shipped after the order date" instead of "received after
+    commit"). The correlated EXISTS lowers to a LEFT SEMI join on
+    l_orderkey with the non-equi ship>order condition attached — one
+    shuffle on orderkey, the quarter filter pushed to the orders scan,
+    and the lineitem side projects only (l_orderkey, l_shipdate)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    probed = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        probed.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue-change: pure scan-filter-aggregate,
+    zero joins, one row out. All three predicates push to the parquet
+    scan (year range as min/max ts, discount band, quantity cap) and
+    the projection is two columns — the canonical I/O-bound probe that
+    measures scan + pushdown quality and nothing else. The discount
+    values are exact parquet doubles in both engines, so the BETWEEN
+    boundary is bit-identical."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: which customers returned the
+    most revenue in a quarter. Fact-fact shuffle join orders⋈lineitem
+    (returnflag filter pushed to the lineitem scan, quarter filter to
+    orders), then a broadcast of nation onto the grouped customer
+    rollup. Top-20 via TakeOrdered — no global sort materializes.
+    Deterministic cut: ties broken by c_custkey.
+
+    Revenue is summed as per-row floor-to-integer-cents, not
+    round(sum(...), 2): at sf0.01 this sum lands on an exact half-cent
+    where Spark's and DuckDB's different partial-sum orders round
+    opposite ways (found by the sf0.01 verify sweep — the aggregate
+    2dp round that is safe elsewhere is NOT safe here)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents")
+        )
+        .select("c_custkey", "c_name", "revenue_cents", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority split, adapted (this schema has
+    no l_shipmode; l_linestatus is the grouping axis). The signature
+    shape survives: fact-fact equi-join, then conditional aggregation —
+    two CASE-WHEN counters evaluated in one pass, no second scan and no
+    pivot shuffle. Year filter pushes to the lineitem scan and only
+    (orderkey, priority) survives the orders projection."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(
+             100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END), 2)
+                   / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+             4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO-type parts. part is a true dimension → explicit broadcast;
+    the month filter pushes to the lineitem scan; numerator and
+    denominator come out of ONE aggregate (conditional sum), not two
+    scans. Both sums are rounded to cents before the division so the
+    ratio is computed from identical quantities in both engines."""
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2).alias(
+                "__promo"
+            ),
+            F.round(F.sum(rev), 2).alias("__total"),
+        )
+        .select(
+            F.round(100.0 * F.col("__promo") / F.col("__total"), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: aggregate-of-aggregate — quarterly
+    revenue per supplier, then the supplier(s) hitting the global max.
+    The revenue rollup is one shuffle; the max is a window MAX over the
+    (tiny) rollup rather than a second scan-and-join, so the fact table
+    is read exactly once. Revenue is rounded to cents BEFORE the
+    max-equality test, making the float comparison exact in both
+    engines."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = rev.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(best, s["s_suppkey"] == best["supplier_no"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated scalar
+    subquery (per-part average quantity) decorrelated by hand into a
+    groupBy + equi-join — the same rewrite Catalyst/DuckDB planners do.
+    Per-part averages are computed over ALL lineitems of the part (as
+    in the spec), brand-filtered parts are a broadcast, and the final
+    comparison l_quantity < 0.2·avg happens before the single global
+    sum. Quantities are small integers stored as doubles, so 0.2·avg
+    is bit-identical across engines."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = T(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 300. The HAVING subquery is a pre-aggregation of lineitem
+    on orderkey that LEFT SEMI joins back — at any scale the heavy
+    rollup happens once and only qualifying orderkeys (rare: ~0.3% of
+    orders here) flow into the 3-table join. Ties on o_totalprice cut
+    deterministically by orderkey."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+    return (
+        c.join(o_big, c["c_custkey"] == o_big["o_custkey"])
+        .join(li, o_big["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue (disjunctive predicates), adapted
+    to this schema's part columns (no shipmode/shipinstruct legs). The
+    planner-relevant shape survives: an OR of three conjunctive
+    brand/size/quantity envelopes straddling the join. Both engines
+    keep the join an equi-join on partkey and evaluate the disjunction
+    as a post-join filter; the derivable part-side envelope
+    (brand ∈ {1,2,3}) is pushed into the broadcast dimension here so
+    the hash table holds only candidate parts."""
+    leg = lambda b, smax, qlo, qhi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    p = T(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(leg("Brand#1", 15, 1, 21) | leg("Brand#2", 25, 10, 30) | leg("Brand#3", 35, 20, 40))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity, adapted (no phone prefixes;
+    nations play the country-code role, and "never placed an urgent
+    order" replaces "never ordered" — every above-average customer here
+    has some order). Shape preserved exactly: scalar aggregate subquery
+    (broadcast one-row cross join), LEFT ANTI join against the filtered
+    orders side, broadcast dim rollup. The anti-join's orders side
+    prunes to urgent-only rows before the shuffle."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    urgent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+    )
+    return (
+        rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
