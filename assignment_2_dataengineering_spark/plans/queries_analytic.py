@@ -238,3 +238,27 @@ def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("value", 3).over(wfull), 2).alias("third_val"),
         F.round(F.last("value").over(wfull), 2).alias("last_val"),
     )
+
+
+@register(
+    "q_hll_rollup",
+    oracle=None,  # sketch binary layouts are engine-specific; error bound + mergeability pinned in tests/test_sketch.py
+    tags=("agg", "sketch"),
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct users per event type via mergeable HLL
+    sketches (operators/sketch.py): day×type sketches materialized
+    first (the persistable rollup table — at 100 TB it is written once,
+    partitioned by day), then UNIONED up to event type without
+    rescanning events. approx_count_distinct can't do this — a number
+    can't be merged; a sketch can. Estimate error bound and
+    union-vs-direct consistency pinned in tests/test_sketch.py."""
+    from ..operators.sketch import rollup_sketch, sketch_distinct
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch_distinct(ev, ["event_type", "day"], "user_id")
+    return (
+        rollup_sketch(daily, ["event_type"], "distinct_users")
+        .withColumn("distinct_users", F.col("distinct_users").cast("long"))
+        .orderBy("event_type")
+    )

@@ -181,3 +181,40 @@ def test_binaryfile_to_media_pipeline_end_to_end(spark, tmp_path):
         r = feats[sum(data)]
         assert r["n_bytes"] == 32
         assert abs(r["byte_mean"] - sum(data) / 32) < 1e-9
+
+
+def test_bucketed_join_eliminates_both_exchanges(spark, sf_dir, tmp_path):
+    """The write_bucketed payoff (sources/io.py): two tables bucketed
+    and sorted on the same key with equal bucket counts join with NO
+    shuffle on either side — the physical plan must contain zero
+    Exchange nodes, and values must match the plain-join answer."""
+    from assignment_2_dataengineering_spark.sources.io import write_bucketed
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(
+            orders, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            lineitem, "t_lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "l")
+        )
+        o_b = spark.table("t_orders_b")
+        l_b = spark.table("t_lineitem_b")
+        # Force SMJ: broadcast would hide the exchange question entirely.
+        joined = o_b.hint("merge").join(
+            l_b, o_b["o_orderkey"] == l_b["l_orderkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        expect = (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
