@@ -132,6 +132,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n_name ASC
     """,
     tags=("relational", "join"),
+    bench=True,  # the snowflake join-tree path in the headline set
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local-supplier volume: snowflake join across all six
@@ -515,6 +516,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("relational", "join", "agg"),
+    bench=True,  # pre-aggregated HAVING semi-join path
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customers: orders whose total quantity

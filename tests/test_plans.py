@@ -67,3 +67,49 @@ def test_corpus_pipeline_single_exchange(spark, sf_dir):
     plan = _physical(spark, "q_corpus_pipeline", sf_dir)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_tpch_q4_lowers_exists_to_semi_join(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q4", sf_dir)
+    assert "LeftSemi" in plan, plan
+    # quarter window pushes to the orders scan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_tpch_q18_semi_join_prunes_before_wide_join(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q18", sf_dir)
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q22_anti_join_and_prefiltered_probe(spark, sf_dir):
+    plan = _physical(spark, "q_tpch_q22", sf_dir)
+    assert "LeftAnti" in plan, plan
+    # the anti-join probe side prunes to urgent-only before the exchange
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderpriority,1-URGENT\)", plan), plan
+
+
+def test_grouping_sets_single_expand_single_aggregate_pass(spark, sf_dir):
+    """Three grouping sets must come from ONE Expand feeding one
+    aggregation pass over one scan — not three scans or a union."""
+    plan = _physical(spark, "q_grouping_sets", sf_dir)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_fuzzy_match_is_equi_join_not_cross_product(spark, sf_dir):
+    """Blocking must keep candidate generation a hash equi-join; a
+    cross product (or nested-loop join) would be the all-pairs
+    anti-pattern the blocking exists to avoid."""
+    plan = _physical(spark, "q_fuzzy_match", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_json_props_single_exchange(spark, sf_dir):
+    """JSON path extraction + per-type aggregate: one partial-agg
+    HASH shuffle on the 4-value key, extraction fully inside codegen
+    (the presentation orderBy's range exchange over 4 rows is free)."""
+    plan = _physical(spark, "q_json_props", sf_dir)
+    n_hash = plan.count("hashpartitioning(")
+    assert n_hash == 1, f"{n_hash} hash exchanges:\n{plan}"
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan, plan
