@@ -262,3 +262,129 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("distinct_users", F.col("distinct_users").cast("long"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'click_and_purchase' AS seg, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'clickday_not_purchaseday' AS seg, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase')
+    ORDER BY seg
+    """,
+    tags=("setops",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-operation breadth beyond §2.7's unionByName:
+    INTERSECT ALL (bag semantics — each click is kept once per matching
+    purchase multiplicity) and EXCEPT (distinct semantics) at
+    (user, day) grain. Spark lowers both to aggregate/join shapes on
+    the compared columns — one exchange each, no distinct-then-join
+    hand-rolling; the two branches then union into a tiny labeled
+    summary."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersectAll(buys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_and_purchase").alias("seg"), "n"
+    )
+    cdays = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    pdays = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    only_click_days = cdays.subtract(pdays).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("clickday_not_purchaseday").alias("seg"), "n")
+    return both.unionByName(only_click_days).orderBy("seg")
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH tagged AS (SELECT doc_id, nullif(lang, 'zh') AS lang_n FROM documents),
+         dim AS (SELECT DISTINCT nullif(lang, 'zh') AS lang_n FROM documents)
+    SELECT dim.lang_n AS lang_key, CAST(count(*) AS BIGINT) AS n_docs
+    FROM tagged JOIN dim ON tagged.lang_n IS NOT DISTINCT FROM dim.lang_n
+    GROUP BY dim.lang_n
+    ORDER BY lang_key NULLS FIRST
+    """,
+    tags=("join", "semantics"),
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    tables with "unknown" members need. The zh docs are remapped to
+    NULL on both sides; a plain equi-join would drop them silently,
+    the null-safe join routes them to the NULL dim row. Spark still
+    plans a hash join (null-safe compare is hashable), broadcast on
+    the tiny dim side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", F.nullif(F.col("lang"), F.lit("zh")).alias("lang_n")
+    )
+    dim = tagged.select(F.col("lang_n").alias("lang_key")).distinct()
+    return (
+        tagged.join(F.broadcast(dim), F.col("lang_n").eqNullSafe(F.col("lang_key")))
+        .groupBy("lang_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("lang_key").asc_nulls_first())
+    )
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+           round(list_sum(list_transform(
+                 list_zip(embedding, list_reverse(embedding)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dot_rev
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    tags=("functions", "array"),
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as user-facing surface (the dedup/
+    ANN tiers use them internally — this registers the capability
+    itself): aggregate-fold L2 norm, filter-count of positive
+    coordinates, array_max, and a zip_with self-reversed dot product.
+    All four compile to codegen loops over the array — no explode, no
+    shuffle, scan-speed at any scale. Fold order is left-to-right in
+    both engines, so double sums agree bit-for-bit before rounding."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    x = F.col("embedding")
+    dbl = lambda c: c.cast("double")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(x, F.lit(0.0), lambda acc, v: acc + dbl(v) * dbl(v))
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(x, lambda v: v > 0)).alias("n_pos"),
+        F.round(dbl(F.array_max(x)), 6).alias("max_elem"),
+        F.round(
+            F.aggregate(
+                F.zip_with(x, F.reverse(x), lambda a, b: dbl(a) * dbl(b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("dot_rev"),
+    ).orderBy("vec_id")
