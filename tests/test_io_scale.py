@@ -218,3 +218,25 @@ def test_bucketed_join_eliminates_both_exchanges(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Long-lived date-partitioned datasets grow columns over time;
+    mergeSchema-on-read must unify old and new file schemas with NULL
+    backfill for pre-evolution files — no rewrite of historical
+    partitions (the only viable policy at 100 TB)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/day=2026-01-01")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/day=2026-01-02")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "name", "score", "day"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None)  # old files: NULL backfill
+    assert rows[3] == ("c", 9.5)
+    # partition pruning still works across the evolved dataset
+    assert df.filter(df["day"] == "2026-01-02").count() == 1
