@@ -225,35 +225,66 @@ def train_centroids(
     Init is the k lowest-id vectors: deterministic across runs and
     executors (kmeans++ would need a seeded sequential scan; stability
     is worth more here than init quality at these k)."""
-    train = vectors
+    train = vectors.select(id_col, vec_col)
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=42)
-    init = [
-        [float(x) for x in r[vec_col]]
-        for r in train.orderBy(id_col).limit(k).collect()
-    ]
-    centroids = init
-    for _ in range(iters):
-        assign, _ = _centroid_kernels(centroids)
-        assigned = train.select(
-            assign(F.col(vec_col)).alias("cid"),
-            F.posexplode(vec_col).alias("d", "x"),
-        )
-        sums = (
-            assigned.groupBy("cid", "d")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r.cid, [0.0] * dim)[r.d] = r.s
-            cnt[r.cid] = r.n
-        centroids = [
-            [acc[c][d] / cnt[c] for d in range(dim)] if c in cnt else centroids[c]
-            for c in range(k)
+    # Iterative reuse: cache once (keeping the source partitioning —
+    # it defines the deterministic accumulation order), unpersist when
+    # trained. Each iteration is ONE narrow mapInPandas pass emitting
+    # ≤k (count, sum-vector) partial rows per partition — no
+    # posexplode fan-out, no shuffle; the driver merges partitions×k
+    # tiny rows. (The previous explode+groupBy form shuffled
+    # rows×dim cells per iteration: ~3 s/iteration at sf0.1 vs ~0.1 s
+    # for this shape.)
+    train = train.persist()
+    try:
+        init = [
+            [float(x) for x in r[vec_col]]
+            for r in train.orderBy(id_col).limit(k).collect()
         ]
-    return centroids
+        centroids = init
+        for _ in range(iters):
+            C = np.asarray(centroids, dtype=np.float64)
+            c2 = (C * C).sum(axis=1)
+
+            def partials(batches):
+                S = np.zeros((k, dim))
+                n = np.zeros(k, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                    d2 = (V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T) + c2[None, :]
+                    cid = d2.argmin(1)
+                    np.add.at(n, cid, 1)
+                    np.add.at(S, cid, V)
+                nz = np.nonzero(n)[0]
+                if len(nz):
+                    yield pd.DataFrame(
+                        {
+                            "cid": nz.astype("int32"),
+                            "n": n[nz],
+                            "s": [S[c].tolist() for c in nz],
+                        }
+                    )
+
+            sums = train.mapInPandas(
+                partials, "cid int, n long, s array<double>"
+            ).collect()
+            acc: dict[int, np.ndarray] = {}
+            cnt: dict[int, int] = {}
+            for r in sorted(sums, key=lambda r: r.cid):
+                acc[r.cid] = acc.get(r.cid, np.zeros(dim)) + np.asarray(r.s)
+                cnt[r.cid] = cnt.get(r.cid, 0) + r.n
+            centroids = [
+                (acc[c] / cnt[c]).tolist() if c in cnt else centroids[c]
+                for c in range(k)
+            ]
+        return centroids
+    finally:
+        train.unpersist()
 
 
 def write_ivf_index(
