@@ -636,3 +636,78 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "q_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS c1
+        FROM toks, unnest(w) AS u(t)
+        GROUP BY t
+    ),
+    v AS (SELECT count(*) AS vsize FROM uni),
+    bigs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM toks WHERE len(w) >= 2
+    ),
+    bgc AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bigs GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln((bgc.c12 + 1.0) / (uni.c1 + v.vsize))), 4) AS nll
+    FROM bigs b
+    JOIN bgc ON b.bg = bgc.bg
+    JOIN uni ON split_part(b.bg, ' ', 1) = uni.token
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    tags=("corpus", "quality"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring: add-one-smoothed
+    P(t2|t1) = (c(t1,t2)+1)/(c(t1)+V) from the corpus's own counts,
+    per-doc quality score = mean negative log-likelihood over its
+    bigrams — the statistical cousin of q_char_entropy for gibberish /
+    boilerplate detection, and the shape of real LM-based quality
+    filters (train counts once, score every doc).
+
+    Plan: token and bigram count tables are keyed aggregates (NOT
+    broadcast — a 100 TB corpus vocabulary outgrows any broadcast,
+    same policy as q_tfidf's df table); scoring joins stay shuffle
+    hash joins on token/bigram; V is a one-row broadcast cross join.
+    Bigrams reuse shingles_from_tokens(w, 2) — identical tokenization
+    to the dedup tier."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("__t")
+    )
+    toks = docs.select("doc_id", TX.tokens_ws(F.col("__t")).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    bigs = toks.select(
+        "doc_id", F.explode(TX.shingles_from_tokens(F.col("w"), 2)).alias("bg")
+    )
+    bgc = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    return (
+        bigs.join(bgc, "bg")
+        .withColumn("__t1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(uni, F.col("__t1") == F.col("token"))
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize")))), 4
+            ).alias("nll"),
+        )
+    )
