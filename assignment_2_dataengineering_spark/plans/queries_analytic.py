@@ -244,6 +244,7 @@ def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hll_rollup",
     oracle=None,  # sketch binary layouts are engine-specific; error bound + mergeability pinned in tests/test_sketch.py
     tags=("agg", "sketch"),
+    bench=True,  # sketch build + union rollup path
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct users per event type via mergeable HLL

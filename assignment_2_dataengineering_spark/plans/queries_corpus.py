@@ -669,6 +669,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.doc_id
     """,
     tags=("corpus", "quality"),
+    bench=True,  # distributed count-table joins (the LM scoring path)
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model scoring: add-one-smoothed

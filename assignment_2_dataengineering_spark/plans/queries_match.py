@@ -77,6 +77,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("functions", "scan"),
+    bench=True,  # codegen JSON path extraction at scan speed
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the props payload string, aggregated
