@@ -641,3 +641,623 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-suite completion: the nine TPC-H queries whose canonical text needs
+# the partsupp table or columns this synthetic schema lacks. The adaptation
+# contract (documented per query) is: derive the part–supplier relation from
+# lineitem itself — every (l_partkey, l_suppkey) pair that ever traded is a
+# partsupp row, its supply cost is the cheapest observed unit price
+# round(min(l_extendedprice / l_quantity), 2), and its "availability" is the
+# total quantity ever shipped. min() is order-independent and the division
+# is computed identically in both engines, so the derived columns are
+# bit-comparable without any sum-order caveat; quantities are integer-valued
+# doubles, so their sums are exact in FP regardless of aggregation order.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-derived partsupp relation (see block comment above).
+    One hash aggregate on (partkey, suppkey): at 100 TB this is a single
+    shuffle of two int keys + two doubles, and any query that consumes it
+    more than once should persist it as a bucketed table
+    (sources/io.py write_bucketed) rather than re-deriving."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH """ + _PARTSUPP_CTE + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ps.ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM partsupp ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, on the lineitem-derived partsupp
+    (p_mfgr/address/phone/comment columns don't exist here, so the
+    output is the columns the schema has; the '%BRASS' type filter
+    becomes p_type = 'LARGE'). The correlated min-subquery decorrelates
+    into a window min over each part's EUROPE offers — no second scan
+    of partsupp, no self-join: filter part first (6-ish rows after
+    size+type), semi-reduce the derived partsupp against it, then one
+    window over a tiny partition. Supplier/nation/region are broadcast.
+    The sort key chain (acctbal DESC, nation, supplier, part) is a
+    total order, so LIMIT 100 is deterministic."""
+    from pyspark.sql import Window
+
+    p = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        offers.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations (nation names
+    adapted to the synthetic NATION_k domain). The disjunctive
+    two-nation predicate is applied AFTER both nation joins — but both
+    nation joins are broadcasts, so the filter is evaluated inside the
+    fact-scan stage and the only shuffles are the two fact-fact joins
+    (lineitem⋈orders on orderkey, ⋈customer on custkey). The shipdate
+    window pushes to the lineitem scan. The supplier side filters to
+    2/25 of suppliers before its broadcast join."""
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        s.join(F.broadcast(n_pair), s["s_nationkey"] == n_pair["n_nationkey"])
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        c.join(F.broadcast(n_pair), c["c_nationkey"] == n_pair["n_nationkey"])
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                           ELSE 0 END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's slice of AMERICA's
+    PROMO-part import volume by order year. Seven-table join tree where
+    every dimension (part 1/6, supplier+nation, customer-nation-region
+    1/5) is broadcast — the only shuffle is lineitem⋈orders. Numerator
+    and denominator come from one conditional aggregate, both rounded
+    to cents before the division (Q14 discipline) so the 6dp share is
+    identical in both engines."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    am_cust = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(am_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)), 2
+            ).alias("__nat"),
+            F.round(F.sum(vol), 2).alias("__tot"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__nat") / F.col("__tot"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+    WITH """ + _PARTSUPP_CTE + """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - ps.ps_supplycost * l.l_quantity AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                        AND ps.ps_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE 'red %'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("relational", "join"),
+    bench=True,  # widest join tree in the suite: derive + 5-way join + agg
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, with supply cost from the derived
+    partsupp (cheapest observed unit price per part–supplier pair) and
+    the '%green%' name probe adapted to this generator's 'red %'
+    adjective. The partsupp join is lineitem-grain on the SAME key pair
+    the derivation grouped by, so Catalyst reuses the (l_partkey,
+    l_suppkey) hash partitioning: derive → join back is one shuffle,
+    not two. part filters to 1/12 before broadcast; orders supplies
+    only the year column; nation rides the supplier broadcast."""
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH """ + _PARTSUPP_CTE + """,
+    natps AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_0'
+    )
+    SELECT ps_partkey, round(sum(v), 2) AS value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING round(sum(v), 2) > (SELECT round(sum(v) * 0.001, 2) FROM natps)
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: parts whose NATION_0 inventory value
+    (derived supplycost × availability) exceeds 0.1% of the nation's
+    total. The scalar threshold subquery decorrelates into a one-row
+    broadcast cross join computed from the SAME natps projection —
+    Spark evaluates natps once into both aggregates under AQE reuse.
+    Both comparison sides are rounded to cents first (Q14 discipline)
+    so the HAVING cut is identical in both engines. At 100 TB the
+    per-part aggregate and the grand total are the same single shuffle
+    width: two doubles per part–supplier pair."""
+    ps = derived_partsupp(spark, sf_dir)
+    nat_supp = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    natps = ps.join(
+        F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    total = natps.agg(F.round(F.sum("v") * 0.001, 2).alias("__threshold"))
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.round(F.sum("v"), 2).alias("value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__threshold"))
+        .drop("__threshold")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution ("not like
+    '%special%requests%'" adapted to the priority column: non-urgent
+    orders only). The left outer join keeps order-less customers at
+    c_count = 0 — count(o_orderkey) counts non-null keys only, the
+    classic outer-join-then-count pattern. Two aggregates: the first
+    shuffles on custkey (same key as the join, so AQE coalesces into
+    the join exchange), the second is a tiny distribution rollup."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    WITH """ + _PARTSUPP_CTE + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, on the derived partsupp.
+    The "customer complaints" comment probe (no comment column here)
+    becomes a low-account-balance exclusion; brand/type/size filters
+    keep the canonical shape. The NOT IN lowers to a LEFT ANTI join —
+    safe because s_suppkey is never null — against a broadcast
+    excluded-supplier list; count(DISTINCT suppkey) is a two-phase
+    partial-distinct aggregate, no extra exchange beyond the
+    (brand, type, size) shuffle."""
+    ps = derived_partsupp(spark, sf_dir)
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 500)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH """ + _PARTSUPP_CTE + """,
+    shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty98
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_0'
+      AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey
+            FROM partsupp ps
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+                       AND p.p_name LIKE 'small %'
+            JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                           AND sh.l_suppkey = ps.ps_suppkey
+            WHERE ps.ps_availqty > 0.5 * sh.qty98)
+    ORDER BY s.s_name
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted: "availability"
+    is the derived all-time shipped quantity, and the promotion window
+    is calendar 1998 — suppliers of 'small %' parts in NATION_0 whose
+    total stock exceeds half of what they moved in 1998. The
+    correlated quantity subquery decorrelates into an equi-join between
+    two aggregates OVER THE SAME (partkey, suppkey) grouping — one
+    partitioning serves both, and the inner IN collapses to a distinct
+    semi-join chain. Quantities are integer-valued doubles: both sums
+    are exact in FP, so the > comparison needs no rounding guard.
+    Suppliers with no 1998 shipments are excluded by the inner join,
+    matching SQL's NULL-comparison semantics for an empty correlated
+    sum."""
+    ps = derived_partsupp(spark, sf_dir)
+    li98 = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    shipped = li98.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.sum("l_quantity").alias("qty98"))
+    small_parts = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(F.broadcast(small_parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty98"))
+        .select("ps_suppkey")
+    )
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_0'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted to this
+    schema's clock: "late" is shipping more than 60 days after the
+    order date (no commit/receipt dates exist). The EXISTS / NOT
+    EXISTS pair does NOT become two extra joins of lineitem to itself:
+    both collapse into one per-order profile — countDistinct(supplier)
+    and countDistinct(supplier WHERE late) over the F-status orders —
+    computed in a single aggregate on the orderkey partitioning the
+    main join already needs. A late l1 row qualifies iff the order has
+    >1 supplier and exactly 1 late one (necessarily l1's). That turns
+    O(|lineitem|²) correlated probes into one extra shuffle-free pass."""
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o_f = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    li_f = li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    profile = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+    )
+    return (
+        li_f.filter(late)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            profile.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
