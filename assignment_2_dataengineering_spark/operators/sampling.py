@@ -96,3 +96,48 @@ def stratified_sample(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     return df.withColumn("sample_bucket", bucket).filter(F.col("sample_bucket") < rate)
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws u from its id hash and
+    competes with key = -ln(u) / weight; the k smallest keys are the
+    sample, and inclusion probability is proportional to weight. The
+    uniform u = (lcg(id) + 0.5) / M is exact in FP in any engine
+    (integer numerator, power-of-two denominator); the key is rounded
+    to 9dp so a last-ulp ln() difference between libms cannot reorder
+    it, with id as the total-order tiebreak.
+
+    Scale shape: the key is a scan-local expression and the k-smallest
+    cut is orderBy+limit — Spark lowers that to TakeOrderedAndProject
+    (per-partition top-k then a k-row driver merge), never a global
+    sort. Reruns, repartitions, and other engines pick the SAME rows —
+    the property corpus-mixture reproducibility depends on."""
+    u = (
+        (F.col(id_col).cast("long") * _A + _C) % _M + F.lit(0.5)
+    ) / F.lit(float(_M))
+    key = F.round(-F.log(u) / F.col(weight_col), 9)
+    return df.withColumn("sample_key", key).orderBy("sample_key", id_col).limit(k)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group document cap (the per-domain cap every web-corpus
+    pipeline applies so one giant domain can't dominate training data):
+    keep at most k rows per group, chosen by deterministic hash order —
+    NOT arrival order, which changes under repartitioning. One window
+    pass over the group partitioning; at 100 TB a skewed domain still
+    fits this shape because row_number short-circuits after k within
+    each partition's sort, and the alternative (groupBy + collect_list)
+    would materialize the whole domain."""
+    from pyspark.sql import Window
+
+    h = (F.col(id_col).cast("long") * _A + _C) % _M
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
+    )

@@ -712,3 +712,58 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+    SELECT doc_id, source, cap_rank
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+               ) AS INTEGER) AS cap_rank
+        FROM documents
+    ) ranked
+    WHERE cap_rank <= 10
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.cap_per_group): at
+    most 10 docs per source, picked by deterministic id-hash order so
+    the kept set survives repartitioning and reruns. The canonical
+    anti-domain-dominance op for web corpora; one window shuffle on
+    source, no state, no collect."""
+    from ..operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", k=10, id_col="doc_id")
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars, sample_key
+    FROM (
+        SELECT doc_id, source, n_chars,
+               round(-ln((((doc_id * 1103515245 + 12345) % 2147483648) + 0.5)
+                         / 2147483648.0) / n_chars, 9) AS sample_key
+        FROM documents
+    ) keyed
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (operators/sampling.
+    weighted_sample): Efraimidis–Spirakis keys with weight = n_chars,
+    k = 100 — longer documents proportionally likelier, yet the picked
+    set is bit-reproducible across engines and runs. TakeOrdered top-k:
+    no global sort, no shuffle of the corpus."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")

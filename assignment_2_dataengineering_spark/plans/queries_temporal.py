@@ -209,3 +209,44 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass (operators/temporal.gap_fill)."""
     ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return TP.gap_fill(ev, ["user_id"], ts_col="ts", value_col="value", bucket_s=300)
+
+
+@register(
+    "q_interval_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("temporal", "window"),
+)
+def q_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window: per-user rolling 1-hour event count
+    and value sum — the "how much in the trailing hour, as of every
+    event" shape rate limiting and anomaly scoring need, where ROWS
+    frames are wrong because event spacing is irregular. The frame is
+    anchored on exact epoch-microsecond integers (sub-second timestamps
+    make seconds truncation lossy; micros are exact int64 in both
+    engines, so the 1h boundary admits the same rows). One shuffle on
+    user_id, then a single ordered pass per partition — Spark's window
+    operator keeps only the trailing hour buffered, which is what makes
+    this viable on an unbounded-ish event history at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
