@@ -54,3 +54,117 @@ def rollup_sketch(
     return sketches.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(estimate_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch tier: mergeable FREQUENCY sketches, the heavy-hitter
+# companion to the HLL cardinality tier above. Spark 4 exposes the
+# count_min_sketch aggregate (binary, Spark's public sketch library format)
+# but no union aggregate for it — so the rollup merges sketches itself.
+# A CMS merge needs no hashing: same (eps, confidence, seed) ⇒ same depth ×
+# width × hash row constants, and counters are additive, so union is an
+# element-wise int64 sum of the tables. That keeps the merge a pure
+# numpy kernel over kilobyte blobs, format-preserving: merging the
+# day-grain sketches is BIT-IDENTICAL to sketching the whole fact table in
+# one pass (pinned in tests/test_cms.py).
+#
+# Serialization (big-endian, from Spark's public writeTo): int version=1,
+# long totalCount, int depth, int width, depth×long hashA, depth·width×long
+# counters.
+# ---------------------------------------------------------------------------
+
+_CMS_HEADER = ">iqii"
+
+
+def sketch_freq(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    eps: float = 0.005,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group count-min sketch of `value_col` frequencies. Same
+    shuffle shape as sketch_distinct: map-side partial sketches, each
+    partition ships one ~8·depth·width-byte blob (≈22 KB at the
+    defaults), never its values. Persist at the finest grain (key ×
+    day); any coarser frequency question merges blobs instead of
+    rescanning the fact table."""
+    return df.groupBy(*group_cols).agg(
+        F.count_min_sketch(
+            F.col(value_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms")
+    )
+
+
+def _merge_cms_blobs(blobs) -> bytes:
+    """Element-wise union of same-shape CMS blobs (numpy, big-endian)."""
+    import struct
+
+    import numpy as np
+
+    first = blobs[0]
+    ver, _, depth, width = struct.unpack(_CMS_HEADER, bytes(first[:20]))
+    hash_a = bytes(first[20 : 20 + 8 * depth])
+    total = 0
+    table = np.zeros(depth * width, dtype=np.int64)
+    for b in blobs:
+        ver_i, cnt, depth_i, width_i = struct.unpack(_CMS_HEADER, bytes(b[:20]))
+        if (ver_i, depth_i, width_i) != (ver, depth, width):
+            raise ValueError("incompatible CMS shapes — differing eps/confidence/seed")
+        total += cnt
+        table += np.frombuffer(b, dtype=">i8", count=depth * width, offset=20 + 8 * depth)
+    return (
+        struct.pack(_CMS_HEADER, ver, total, depth, width)
+        + hash_a
+        + table.astype(">i8").tobytes()
+    )
+
+
+def rollup_freq(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge fine-grained CMS blobs up to `group_cols` — a grouped-map
+    applyInPandas whose kernel is one numpy sum over kilobyte arrays.
+    The shuffle moves the fine-grain sketch TABLE (kilobytes per row),
+    never the fact table; that table is orders of magnitude smaller
+    than the facts it summarizes, which is the entire point of
+    persisting it."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [sketches.schema[c] for c in group_cols] + [sketches.schema["cms"]]
+    )
+
+    def _union(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = [pdf[c].iloc[0] for c in group_cols]
+        row.append(_merge_cms_blobs([bytes(b) for b in pdf["cms"]]))
+        return pd.DataFrame([row], columns=group_cols + ["cms"])
+
+    return sketches.groupBy(*group_cols).applyInPandas(_union, schema)
+
+
+def estimate_freq(
+    spark,
+    merged: DataFrame,
+    items: list[int],
+    group_cols: list[str],
+    item_col: str = "item",
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for `items` from each merged sketch.
+
+    Deliberately driver-side: `merged` is the COARSE rollup — one row
+    per reporting group (kilobytes each), not fact-grain — and the
+    estimates come from Spark's own public CountMinSketch.readFrom, so
+    the hash functions are exactly the ones that built the sketch.
+    Guarantees: estimate ≥ true count, ≤ true + eps·totalCount with
+    probability ≥ confidence (pinned in tests/test_cms.py)."""
+    jvm = spark._jvm
+    rows = []
+    for r in merged.collect():
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(r["cms"]))
+        for it in items:
+            rows.append(
+                tuple(r[g] for g in group_cols) + (it, cms.estimateCount(it))
+            )
+    return spark.createDataFrame(rows, group_cols + [item_col, est_col])

@@ -389,3 +389,29 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dot_rev"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q_cms_freq",
+    oracle=None,  # sketch binary layouts are engine-specific; over-count bound + bit-exact mergeability pinned in tests/test_cms.py
+    tags=("agg", "sketch"),
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable frequency estimates via mergeable count-min
+    sketches (operators/sketch.py CMS tier) — the heavy-hitter
+    companion to q_hll_rollup: day×type sketches materialized once
+    (the persistable artifact; at 100 TB written once, partitioned by
+    day), merged up to event type by an element-wise numpy union that
+    is bit-identical to sketching the coarse grain directly, then
+    point-estimated for a candidate user set from Spark's own public
+    sketch reader. Estimates are deterministic (fixed seed) and
+    one-sided: ≥ true count, ≤ true + eps·N — both pinned in
+    tests/test_cms.py."""
+    from ..operators.sketch import estimate_freq, rollup_freq, sketch_freq
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch_freq(ev, ["event_type", "day"], "user_id")
+    merged = rollup_freq(daily, ["event_type"])
+    return estimate_freq(
+        spark, merged, list(range(10)), ["event_type"], "user_id", "est_events"
+    ).orderBy("event_type", "user_id")
