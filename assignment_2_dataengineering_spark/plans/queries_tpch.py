@@ -927,18 +927,37 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type profit, with supply cost from the derived
     partsupp (cheapest observed unit price per part–supplier pair) and
     the '%green%' name probe adapted to this generator's 'red %'
-    adjective. The partsupp join is lineitem-grain on the SAME key pair
-    the derivation grouped by, so Catalyst reuses the (l_partkey,
-    l_suppkey) hash partitioning: derive → join back is one shuffle,
-    not two. part filters to 1/12 before broadcast; orders supplies
-    only the year column; nation rides the supplier broadcast."""
+    adjective. Two plan rewrites vs the naive derive-and-join-back:
+    (1) the part filter (1/12 of parts) COMMUTES with the (l_partkey,
+    l_suppkey) grouping — a part's lineitems are exactly the rows that
+    derive its partsupp entries — so only the filtered fact feeds the
+    cost derivation; (2) the derivation itself is a window min over
+    (l_partkey, l_suppkey) instead of a groupBy + equi-join back at
+    the same grain, which deletes the second lineitem scan AND the
+    join: one fact scan, one shuffle for the window, one for the final
+    (nation, year) rollup. orders supplies only the year column;
+    nation rides the supplier broadcast."""
+    from pyspark.sql import Window
+
     p = (
         T(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red %"))
         .select("p_partkey")
     )
-    li = T(spark, sf_dir, "lineitem")
-    ps = derived_partsupp(spark, sf_dir)
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("__pk"))),
+            F.col("l_partkey") == F.col("__pk"),
+            "left_semi",
+        )
+        .withColumn(
+            "ps_supplycost",
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(
+                Window.partitionBy("l_partkey", "l_suppkey")
+            ),
+        )
+    )
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = (
         T(spark, sf_dir, "supplier")
@@ -956,13 +975,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            ps,
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
