@@ -487,3 +487,80 @@ def simhash_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring (span) deduplication: remove every token span
+    that repeats an n-gram already seen elsewhere in the corpus,
+    keeping only the globally-first occurrence (ordered by (doc, pos)).
+    This is the dedup tier between whole-document hashing and fuzzy
+    MinHash — the "repeated boilerplate inside otherwise-unique pages"
+    case (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", deduplicates training sets exactly this way at the
+    substring level).
+
+    Plan shape (all Catalyst, no Python):
+      1. tokenize once, posexplode shingles → (doc, pos, shingle); the
+         token array materializes behind the Generate barrier so the
+         shingle expression does not fan out per reference;
+      2. window min(struct(doc, pos)) over shingle marks every
+         occurrence that is not globally first — one shuffle on the
+         shingle key. A corpus-frequent shingle (boilerplate) makes a
+         hot key; the window only carries (doc, pos) structs, and a
+         production run would pre-cap with a count>threshold routing
+         like ngram_jaccard's df-cap;
+      3. duplicate occurrences explode to covered positions,
+         distinct'd per doc — sequence(pos, pos+n-1) is JVM-side;
+      4. anti-join the posexploded tokens against covered positions,
+         reassemble with sort-by-position concat per doc.
+    Docs shorter than n tokens have no shingles and pass through
+    unchanged. Output: (id, text, n_tokens, n_removed)."""
+    toks = docs.select(
+        F.col(id_col),
+        tokens_ws(F.col(text_col)).alias("__w"),
+    )
+    sh = toks.select(
+        id_col,
+        F.posexplode(shingles_from_tokens(F.col("__w"), n)).alias("pos", "sh"),
+    )
+    w_first = Window.partitionBy("sh")
+    dup_occ = (
+        sh.withColumn(
+            "__first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_first)
+        )
+        .filter(
+            (F.col("__first")[id_col] != F.col(id_col))
+            | (F.col("__first")["pos"] != F.col("pos"))
+        )
+        .select(id_col, "pos")
+    )
+    covered = dup_occ.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos")
+    ).distinct()
+    positions = toks.select(
+        id_col, F.posexplode(F.col("__w")).alias("pos", "tok")
+    )
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = positions.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # Left join so a FULLY deduplicated doc still surfaces, as empty text.
+    return totals.join(kept_agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    )

@@ -767,3 +767,74 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(len(w)),
+                       i -> struct_pack(pos := i, tok := w[i + 1])
+                   )) AS u
+            FROM arrs)
+    ),
+    sh AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(greatest(len(w) - 9, 0)),
+                       i -> struct_pack(pos := i,
+                                        g := array_to_string(w[i + 1 : i + 10], ' '))
+                   )) AS u
+            FROM arrs)
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, cpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + 10)) AS cpos
+            FROM occ WHERE rn > 1)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        WHERE c.doc_id IS NULL
+    ),
+    kept_agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(k.text, '') AS text, t.n_tokens,
+           t.n_tokens - coalesce(k.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN kept_agg k USING (doc_id)
+    """,
+    tags=("corpus", "dedup"),
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span) dedup over the corpus
+    (operators/dedup.span_dedup): every repeated 10-gram span is
+    removed except its globally-first occurrence, and documents are
+    reassembled from their surviving tokens — the substring-level tier
+    between exact-doc hashing and MinHash, per Lee et al. 2021. Fully
+    duplicated documents come back as empty text rather than
+    disappearing. Exactly SQL-expressible, so unlike the randomized
+    banding tiers this one is hash-checked against DuckDB."""
+    from ..operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup(docs, n=10)

@@ -238,3 +238,50 @@ def test_ngram_doc_freq_cap_semantics(spark, sf_dir):
     assert loose == uncapped and uncapped
     tight = DD.ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=2).collect()
     assert {(r.id_a, r.id_b) for r in tight} <= set(uncapped)
+
+
+class TestSpanDedup:
+    """operators/dedup.span_dedup — exact substring dedup invariants."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j k l"),  # globally-first occurrence
+                (2, "a b c d e f g h i j k l"),  # exact dup -> fully removed
+                (3, "x y a b c d e f g h i j z"),  # embeds the repeated span
+                (4, "p q r s"),  # shorter than n -> no shingles, untouched
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_planted_spans(self, spark):
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in DD.span_dedup(self._docs(spark), n=10).collect()
+        }
+        assert out[1]["text"] == "a b c d e f g h i j k l"
+        assert out[1]["n_removed"] == 0
+        # A fully duplicated doc surfaces as empty text, not a dropped row.
+        assert out[2]["text"] == "" and out[2]["n_removed"] == 12
+        # Only the covered span is removed; surrounding tokens survive
+        # in order.
+        assert out[3]["text"] == "x y z" and out[3]["n_removed"] == 10
+        assert out[4]["text"] == "p q r s" and out[4]["n_removed"] == 0
+
+    def test_idempotent(self, spark):
+        once = DD.span_dedup(self._docs(spark), n=10).select("doc_id", "text")
+        twice = DD.span_dedup(once, n=10)
+        assert {
+            (r["doc_id"], r["text"], r["n_removed"]) for r in twice.collect()
+        } == {(r["doc_id"], r["text"], 0) for r in once.collect()}
+
+    def test_partitioning_invariant(self, spark):
+        base = {
+            (r["doc_id"], r["text"])
+            for r in DD.span_dedup(self._docs(spark), n=10).collect()
+        }
+        shuffled = {
+            (r["doc_id"], r["text"])
+            for r in DD.span_dedup(self._docs(spark).repartition(7), n=10).collect()
+        }
+        assert base == shuffled
