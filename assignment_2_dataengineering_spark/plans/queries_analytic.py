@@ -415,3 +415,50 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_freq(
         spark, merged, list(range(10)), ["event_type"], "user_id", "est_events"
     ).orderBy("event_type", "user_id")
+
+
+@register(
+    "q_regr",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, x) AS BIGINT) AS n,
+           round(regr_slope(value, x), 6) AS slope,
+           round(regr_intercept(value, x), 4) AS intercept,
+           round(regr_r2(value, x), 6) AS r2,
+           round(regr_avgx(value, x), 4) AS avg_x,
+           round(regr_avgy(value, x), 4) AS avg_y
+    FROM (
+        SELECT event_type, value,
+               date_diff('second', TIMESTAMP '2021-01-01', ts) / 3600.0 AS x
+        FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope/intercept/r2/
+    avgx/avgy/count): value drift per event type against hours-since-
+    epoch-anchor. Completes the second-moment story q_stats_agg started
+    — these are single-pass sum/product accumulators, so the plan is
+    one hash aggregate with map-side partials, scan-speed at any scale.
+    The x axis is hours (not raw epoch seconds) so slopes land at a
+    magnitude where the 6dp cross-engine round is meaningful."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.unix_timestamp(F.lit("2021-01-01").cast("timestamp"))
+    ) / 3600.0
+    return (
+        ev.select("event_type", "value", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("value", "x").alias("n"),
+            F.round(F.regr_slope("value", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+            F.round(F.regr_avgx("value", "x"), 4).alias("avg_x"),
+            F.round(F.regr_avgy("value", "x"), 4).alias("avg_y"),
+        )
+        .orderBy("event_type")
+    )

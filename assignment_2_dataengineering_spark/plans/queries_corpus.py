@@ -838,3 +838,65 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return span_dedup(docs, n=10)
+
+
+@register(
+    "q_split_leakage",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         splits AS (SELECT doc_id,
+                           CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 80
+                                THEN 'train'
+                                WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+                                THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM documents)
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs
+    JOIN sizes x ON id_a = x.doc_id
+    JOIN sizes y ON id_b = y.doc_id
+    JOIN splits sa ON id_a = sa.doc_id
+    JOIN splits sb ON id_b = sb.doc_id
+    WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.3
+      AND sa.split <> sb.split
+    """,
+    tags=("corpus", "dedup", "sampling"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (exact
+    3-gram Jaccard ≥ 0.3) whose members landed in DIFFERENT train/val/
+    test splits — the leakage an eval is silently invalidated by when
+    dedup runs after splitting instead of before. Pure composition of
+    engine pieces: the deterministic hash split (operators/sampling.
+    split_label, 80/10/10 here so cross pairs exist at test scale) over
+    the inverted-index Jaccard pairs (operators/dedup.
+    ngram_jaccard_pairs). At 100 TB the pair generation is the same
+    df-capped scale path as q_dedup_ngram_jaccard; the split labels are
+    scan-local expressions joined after pairing, so the audit costs one
+    extra broadcast-sized join over the (tiny) pair set."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.sampling import split_label
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    splits = docs.select(
+        "doc_id", split_label(F.col("doc_id"), train_pct=80, val_pct=10).alias("split")
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
