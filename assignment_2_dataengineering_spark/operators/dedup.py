@@ -519,7 +519,16 @@ def span_dedup(
       4. anti-join the posexploded tokens against covered positions,
          reassemble with sort-by-position concat per doc.
     Docs shorter than n tokens have no shingles and pass through
-    unchanged. Output: (id, text, n_tokens, n_removed)."""
+    unchanged. Output: (id, text, n_tokens, n_removed).
+
+    Semantics caveat (position-cover removal, inherent to span dedup):
+    when a repeat OVERLAPS its own first occurrence (aaaa…), the
+    duplicate's cover erodes tokens the first occurrence shares with
+    it, so "globally-first occurrence survives" holds per-token, not
+    per-n-gram; and reassembly can form new n-grams across removed
+    gaps, so a second pass may find more (idempotent on corpora whose
+    repeats don't overlap — tests/test_dedup.py — but not universally;
+    hypothesis counterexamples in tests/test_properties.py)."""
     toks = docs.select(
         F.col(id_col),
         tokens_ws(F.col(text_col)).alias("__w"),

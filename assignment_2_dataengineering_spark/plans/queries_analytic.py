@@ -462,3 +462,39 @@ def q_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_mad",
+    oracle="""
+    WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(min(m.med), 4) AS med,
+           round(median(abs(e.value - m.med)), 4) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust-dispersion
+    companion to q_stats_agg's moment statistics (outlier thresholds at
+    k·MAD are the standard data-quality gate for heavy-tailed metrics).
+    Two-pass by necessity (MAD is a median OF residuals about a
+    median): grouped exact median, broadcast back, second grouped
+    median. Both engines interpolate the continuous median over
+    identical doubles, so 4dp rounds are stable. At 100 TB the exact
+    two-pass is the point — approx_percentile handles the screening
+    case, this is the auditable exact path."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

@@ -164,3 +164,59 @@ def q_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("explained_ratio", 6).alias("explained_ratio"),
         F.posexplode("vector").alias("dim", "loading"),
     ).withColumn("loading", F.round("loading", 6))
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(u.dim AS INTEGER) AS dim, CAST(u.v AS DOUBLE) AS v
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(
+                       range(len(embedding)),
+                       i -> struct_pack(dim := i, v := embedding[i + 1])
+                   )) AS u
+            FROM embeddings WHERE vec_id < 50)
+    ),
+    stats AS (SELECT vec_id, min(v) AS mn, max(v) AS mx FROM ex GROUP BY vec_id)
+    SELECT e.vec_id, e.dim,
+           CAST(floor((e.v - s.mn) * (255.0 / nullif(s.mx - s.mn, 0)) + 0.5)
+                AS INTEGER) AS code,
+           round(s.mn, 6) AS vmin,
+           round(255.0 / nullif(s.mx - s.mn, 0), 6) AS scale
+    FROM ex e JOIN stats s USING (vec_id)
+    """,
+    tags=("similarity", "quantize"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-range scalar quantization of embeddings — the
+    4× storage compression every large vector store applies before ANN
+    (code = round-half-up of (v − min)·255/(max − min), plus the
+    (vmin, scale) pair needed to dequantize). All-Catalyst: min/max as
+    window-free grouped stats joined back, floor(x + 0.5) instead of
+    round() because both engines compute the identical double x, while
+    native round() half-rules differ. Floats are cast to double BEFORE
+    arithmetic so promotion order can't diverge. Output is exploded to
+    (vec_id, dim, code) scalars — array cells don't survive the
+    driver's pandas-side canonicalizer (SURVEY §5)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "__vf")
+    ).select("vec_id", "dim", F.col("__vf").cast("double").alias("v"))
+    stats = ex.groupBy("vec_id").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    scale = 255.0 / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    return (
+        ex.join(F.broadcast(stats), "vec_id")
+        .select(
+            "vec_id",
+            "dim",
+            F.floor((F.col("v") - F.col("mn")) * scale + 0.5)
+            .cast("int")
+            .alias("code"),
+            F.round("mn", 6).alias("vmin"),
+            F.round(scale, 6).alias("scale"),
+        )
+    )

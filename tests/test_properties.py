@@ -287,3 +287,65 @@ def test_global_shuffle_rank_is_permutation_any_buckets(spark, n, buckets):
     ranks_b = {r["doc_id"]: r["shuffle_rank"] for r in b.collect()}
     assert sorted(ranks_a.values()) == list(range(1, n + 1))
     assert ranks_a == ranks_b
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_span_dedup_properties(spark, docs):
+    """span_dedup on random corpora: no doc lost, token conservation
+    (kept + removed = total), all-distinct corpora untouched, and
+    partitioning invariance. Deliberately NOT asserted: n-gram
+    preservation or general idempotence — self-overlapping repeats let
+    a duplicate's cover erode its own first occurrence, and reassembly
+    can form new n-grams across removed gaps (hypothesis found both;
+    the fixed-corpus idempotence case lives in test_dedup.py)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = DD.span_dedup(df, n=3).collect()
+    assert {r["doc_id"] for r in out} == set(range(len(docs)))
+    for r in out:
+        if r["text"]:
+            assert len(r["text"].split(" ")) == r["n_tokens"] - r["n_removed"]
+        else:
+            # '' is ambiguous: either the doc was fully deduplicated, or
+            # its original text was '' (split('', ' ') is [''] — one
+            # empty token, kept).
+            assert r["n_removed"] in (r["n_tokens"], 0)
+    # partitioning invariance: same result from any physical layout
+    repart = DD.span_dedup(df.repartition(5), n=3).collect()
+    assert {tuple(r) for r in repart} == {tuple(r) for r in out}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_and_cap_properties(spark, rows, k):
+    """weighted_sample: returns min(k, n) rows, a subset of the input,
+    stable under repartitioning. cap_per_group: ≤ k rows per group,
+    subset, stable under repartitioning."""
+    from assignment_2_dataengineering_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        [(i, w, i % 3) for i, w in rows], "doc_id long, w long, g long"
+    )
+    picked = SP.weighted_sample(df, "w", k=k, id_col="doc_id").collect()
+    assert len(picked) == min(k, len(rows))
+    assert {r["doc_id"] for r in picked} <= {i for i, _ in rows}
+    again = SP.weighted_sample(df.repartition(5), "w", k=k, id_col="doc_id").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in picked}
+
+    capped = SP.cap_per_group(df, "g", k=k, id_col="doc_id").collect()
+    from collections import Counter
+    per_g = Counter(r["g"] for r in capped)
+    assert all(c <= k for c in per_g.values())
+    assert {r["doc_id"] for r in capped} <= {i for i, _ in rows}
+    capped2 = SP.cap_per_group(df.repartition(7), "g", k=k, id_col="doc_id").collect()
+    assert {r["doc_id"] for r in capped2} == {r["doc_id"] for r in capped}
