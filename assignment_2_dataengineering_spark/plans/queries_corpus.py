@@ -824,6 +824,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN kept_agg k USING (doc_id)
     """,
     tags=("corpus", "dedup"),
+    bench=True,  # the three-shuffle substring-dedup path
 )
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring (span) dedup over the corpus

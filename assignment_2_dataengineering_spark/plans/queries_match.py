@@ -101,3 +101,49 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing_key,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+               AS k_avg,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS k_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("functions", "scan"),
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    parse_json ONCE into a variant column, then typed variant_get
+    probes — the parse-once / extract-many pattern that replaces
+    repeated get_json_object path walks (each of which re-parses the
+    string). try_variant_get on an absent path yields NULL instead of
+    failing, which is the schema-drift posture an evolving event
+    payload needs. At 100 TB the variant column is what you'd persist:
+    Parquet shreds it columnar, so later probes prune like real
+    columns. Values and aggregates match the string-path oracle
+    exactly — VARIANT changes the storage/access shape, not the
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select("event_type", v.alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "string")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(missing).alias("n_missing_key"),
+            F.round(F.avg(k), 4).alias("k_avg"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -152,3 +152,33 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in `xml` format — no external package):
+    one element per row under `row_tag`. XML exists here for the same
+    reason as the ORC/CSV codecs: a reference-class pipeline speaks to
+    legacy consumers, and a market-data feed (the reference's domain)
+    is as likely to demand XML as CSV. Not a lake format — no columnar
+    pruning; land it, convert to Parquet, move on."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML scan. Pass the explicit schema whenever known: schema
+    inference reads the data twice and infers permissively (the same
+    discipline as the engine's CSV/JSON readers, schemas.py)."""
+    r = spark.read.option("rowTag", row_tag).format("xml")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -280,3 +280,21 @@ def test_dynamic_partition_pruning_on_day_layout(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     expect = fact.filter(F.col("event_date").isin(all_days[:3])).count()
     assert joined.count() == expect
+
+
+def test_xml_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """sources/io.write_xml / read_xml: a dimension table survives the
+    XML round trip bit-for-bit when read back with its explicit schema
+    (inference is permissive; the engine's reader discipline is
+    schema-first, schemas.py)."""
+    from assignment_2_dataengineering_spark.sources import io as eio
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "supplier")
+    path = str(tmp_path / "supplier_xml")
+    eio.write_xml(dim, path, row_tag="supplier")
+    back = eio.read_xml(spark, path, row_tag="supplier", schema=dim.schema)
+    assert back.schema == dim.schema
+    a = sorted(tuple(r) for r in dim.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
