@@ -113,3 +113,43 @@ def test_json_props_single_exchange(spark, sf_dir):
     n_hash = plan.count("hashpartitioning(")
     assert n_hash == 1, f"{n_hash} hash exchanges:\n{plan}"
     assert "ReadSchema: struct<event_type:string,props:string>" in plan, plan
+
+
+def test_tpch_q9_scans_lineitem_once(spark, sf_dir):
+    """Q9's docstring claim as a pin: the derived supply cost is a
+    window min at the consuming grain, so lineitem appears in the plan
+    EXACTLY once — no derive-aggregate + join-back double scan."""
+    plan = _physical(spark, "q_tpch_q9", sf_dir)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_weighted_sample_takes_ordered_no_exchange(spark, sf_dir):
+    """The E–S top-k lowers to TakeOrderedAndProject: per-partition
+    top-k + k-row driver merge, never a global sort or a shuffle."""
+    plan = _physical(spark, "q_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_domain_cap_single_exchange(spark, sf_dir):
+    """cap_per_group is one window pass on the group partitioning —
+    exactly one Exchange in the plan."""
+    plan = _physical(spark, "q_domain_cap", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_interval_window_single_exchange_range_frame(spark, sf_dir):
+    """One exchange on user_id; the frame is a RANGE (value-based)
+    specification, not ROWS — irregular spacing demands it."""
+    plan = _physical(spark, "q_interval_window", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "RangeFrame" in plan, plan
+
+
+def test_mad_broadcasts_median_table(spark, sf_dir):
+    """The residual pass joins the 5-row per-type median table as a
+    broadcast — the fact side never shuffles for the join (only the
+    two grouped medians exchange)."""
+    plan = _physical(spark, "q_mad", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
