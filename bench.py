@@ -47,6 +47,14 @@ def main() -> None:
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline set GROWS round over round as operators land, so the
+    # total is not longitudinally comparable. core11_wall is the fixed
+    # round-1 query set — the stable cross-round trend line.
+    core11 = [
+        "q_groupby_sum", "q_window_agg", "q_join_broadcast", "q_left_join",
+        "q_latest_per_key", "q_pivot", "q_unpivot", "q_text_quality",
+        "q_dedup_exact", "q_dedup_minhash_lsh", "q_ann_bruteforce",
+    ]
     print(
         json.dumps(
             {
@@ -55,6 +63,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "core11_wall": round(
+                    sum(timings[q] for q in core11 if q in timings), 3
+                ),
             }
         )
     )
