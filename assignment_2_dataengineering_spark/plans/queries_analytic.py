@@ -498,3 +498,85 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p1,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < b.p1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           round(avg(least(greatest(e.value, b.p1), b.p99)), 4)
+               AS avg_winsorized
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at p1/p99 — the standard heavy-tail
+    guard before computing means a single corrupt metric value would
+    drag (companion to q_mad's robust dispersion). Exact interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont` on
+    identical sorted doubles), broadcast back as a 5-row bounds table,
+    clip + flag in one aggregate pass. Two shuffles total; the clip
+    comparisons see identical doubles in both engines, so boundary
+    membership is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p1"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p1")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p1"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_paginate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "limit"),
+)
+def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyset-stable pagination: page 3 of the orders
+    ranked by price — ORDER BY over a total order (price DESC, then
+    unique key) + offset/limit. Spark lowers offset+limit to a
+    CollectLimit with skip — the page is assembled from per-partition
+    top-(offset+limit) heads, not a global sort. Pagination over a
+    non-total order is the classic silent-duplicate bug across pages;
+    the unique-key tiebreak is the point of the query."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
