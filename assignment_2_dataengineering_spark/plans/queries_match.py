@@ -147,3 +147,76 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_entity_resolve",
+    oracle="""
+    WITH RECURSIVE
+    names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+    ),
+    jp AS (
+        SELECT a.p_name AS id_a, b.p_name AS id_b
+        FROM names a
+        JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION ALL SELECT id_b, id_a FROM jp),
+    reach(a, b) AS (
+        SELECT p_name, p_name FROM names
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS p_name, min(b) AS entity FROM reach GROUP BY a),
+    pc AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
+    SELECT lab.entity,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(sum(pc.n) AS BIGINT) AS n_parts
+    FROM lab JOIN pc USING (p_name)
+    GROUP BY lab.entity
+    ORDER BY lab.entity
+    """,
+    tags=("match", "dedup", "graph"),
+)
+def q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked edit-distance candidate
+    pairs (the q_fuzzy_match shape) fed through connected components
+    (operators/dedup.dedup_clusters — generic over id type, min-label
+    works on strings), rolled up to canonical entities: each name
+    variant maps to its component's lexicographic-min name, with
+    variant and underlying-row counts. The full resolve-then-aggregate
+    pipeline every catalog/CRM dedup runs; the oracle is a recursive-
+    CTE transitive closure — an exact cross-engine check on an
+    iterative distributed algorithm composed with fuzzy matching."""
+    from ..operators.dedup import dedup_clusters
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    pairs = (
+        a.join(
+            b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b"))
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+    )
+    labels = dedup_clusters(
+        pairs, names.select(F.col("p_name").alias("doc_id")), id_col="doc_id"
+    ).select(F.col("doc_id").alias("p_name"), F.col("cluster_id").alias("entity"))
+    per_name = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        labels.join(per_name, "p_name")
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("__n").alias("n_parts"),
+        )
+        .orderBy("entity")
+    )
