@@ -148,3 +148,73 @@ def mode_value(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
         .limit(1)
         .select(F.col(col).alias(alias))
     )
+
+
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 MERGE: history-preserving
+    upsert. `target` carries versioned rows (`to_col` NULL = current);
+    `updates` carries (keys, attrs, ts). For each key whose current
+    attrs DIFFER from the update: the current row is closed
+    (`to_col` = update ts) and a new current row opens
+    (`from_col` = update ts). No-op updates (identical attrs) create
+    NO version — the guard that keeps re-delivered CDC extracts from
+    exploding history. Historical (already-closed) rows and untouched
+    keys pass through. New keys insert as current rows.
+
+    Plan shape: one equi-join of current rows to updates on the keys
+    (historical rows never join — they filter out before the shuffle),
+    a null-safe any-attr-changed predicate, and a 3-way unionByName.
+    Same single-key-shuffle economics as merge_upsert; bucket the
+    target on `keys` and the target-side exchange disappears. The
+    merge is deterministic row arithmetic — oracle-paired in
+    q_scd2 (queries_scale.py)."""
+    current = target.filter(F.col(to_col).isNull()).alias("__c")
+    history = target.filter(F.col(to_col).isNotNull())
+    u = updates.alias("__u")
+
+    cond = None
+    for k in keys:
+        c = F.col(f"__c.{k}").eqNullSafe(F.col(f"__u.{k}"))
+        cond = c if cond is None else (cond & c)
+    changed_pred = None
+    for a in attrs:
+        c = ~F.col(f"__c.{a}").eqNullSafe(F.col(f"__u.{a}"))
+        changed_pred = c if changed_pred is None else (changed_pred | c)
+
+    joined = current.join(u, cond, "left")
+    upd_marker = F.col(f"__u.{keys[0]}").isNotNull()
+
+    # Current rows: closed if a differing update arrived, else unchanged.
+    kept_current = joined.select(
+        *[F.col(f"__c.{c}").alias(c) for c in target.columns if c != to_col],
+        F.when(upd_marker & changed_pred, F.col(f"__u.{ts_col}"))
+        .otherwise(F.lit(None).cast(target.schema[to_col].dataType))
+        .alias(to_col),
+    )
+    # New current versions: differing updates on existing keys.
+    new_versions = joined.filter(upd_marker & changed_pred).select(
+        *[F.col(f"__u.{k}").alias(k) for k in keys],
+        *[F.col(f"__u.{a}").alias(a) for a in attrs],
+        F.col(f"__u.{ts_col}").alias(from_col),
+        F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+    )
+    # Brand-new keys insert as current rows.
+    inserts = u.join(current, cond, "left_anti").select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(a).alias(a) for a in attrs],
+        F.col(ts_col).alias(from_col),
+        F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+    )
+    return (
+        history.unionByName(kept_current)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )

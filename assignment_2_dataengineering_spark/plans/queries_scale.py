@@ -225,3 +225,82 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("hi"),
         )
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+               TIMESTAMP '2021-06-01' AS ts
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, TIMESTAMP '2021-06-01'
+        FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, TIMESTAMP '2021-06-01'
+        FROM customer WHERE c_custkey < 3
+    ),
+    changed AS (
+        SELECT t.c_custkey, u.c_acctbal AS new_bal, u.ts
+        FROM target t JOIN upd u USING (c_custkey)
+        WHERE t.c_acctbal IS DISTINCT FROM u.c_acctbal
+    )
+    SELECT t.c_custkey, t.c_acctbal, t.valid_from, ch.ts AS valid_to
+    FROM target t JOIN changed ch USING (c_custkey)
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, new_bal, ts, CAST(NULL AS TIMESTAMP) FROM changed
+    UNION ALL
+    SELECT u.c_custkey, u.c_acctbal, u.ts, CAST(NULL AS TIMESTAMP)
+    FROM upd u
+    WHERE u.c_custkey NOT IN (SELECT c_custkey FROM target)
+    """,
+    tags=("scale", "merge"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 MERGE (operators/relational.scd2_merge): the
+    history-preserving upsert merge_upsert's type-1 overwrite cannot
+    express. A deterministic CDC batch against the customer dim —
+    1/3 of keys change balance (old version closed, new opened),
+    1/5 deliver no-op re-extracts (MUST create no version), and three
+    brand-new keys insert. Historical rows never enter the join
+    (filtered before the shuffle); the whole merge is one keyed join +
+    anti-join + unions — bucket the target on the key and the target
+    exchange disappears."""
+    from ..operators.relational import scd2_merge
+
+    c = T(spark, sf_dir, "customer")
+    ts = F.lit("2021-06-01").cast("timestamp")
+    target = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"), ts.alias("ts"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 3 != 0))
+            .select("c_custkey", "c_acctbal", ts.alias("ts"))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") < 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                ts.alias("ts"),
+            )
+        )
+    )
+    return scd2_merge(
+        target, updates, keys=["c_custkey"], attrs=["c_acctbal"], ts_col="ts"
+    )

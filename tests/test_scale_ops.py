@@ -170,3 +170,55 @@ class TestCharEntropy:
         )
         got = {r.doc_id: r.entropy for r in ent.collect()}
         assert got == {1: 0.0, 2: 1.0, 3: 2.0}  # uniform over 2^k chars → k bits
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's skew posture has two tiers: deterministic salting
+    (salted_join, oracle-pinned) and AQE's runtime skew split. This
+    pins the second: a join with one hot key (83% of rows) under
+    production-shaped thresholds gets its hot partition SPLIT at
+    runtime — the executed plan says SortMergeJoin(skew=true) with a
+    'skewed' AQEShuffleRead — and returns exactly the rows the plain
+    join returns. Broadcast is disabled to force the shuffle join
+    (AQE's broadcast conversion would otherwise dodge the skew
+    entirely, which is tier zero)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") < 250000, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+        # semantics unchanged by the split (250000 hot + 50 ids ≥ 250000
+        # whose id % 1000 == 0 also land on key 0)
+        assert len(rows) == 300000
+        assert sum(1 for r in rows if r["k"] == 0) == 250050
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
