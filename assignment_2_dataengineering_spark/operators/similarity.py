@@ -643,3 +643,52 @@ def pq_topk_reranked(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "rank", "l2_dist")
     )
+
+
+def arrow_cosine_scores(
+    corpus: DataFrame,
+    query_vec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """mapInArrow cosine-scoring kernel — the third and lowest-overhead
+    rung of the Python ladder (§2.10): row-at-a-time UDF (never used
+    here) → Arrow-batched pandas (multimodal tier, IVF kernels) →
+    RAW ARROW BATCHES with zero pandas materialization. Each
+    RecordBatch's list<float> column is flattened once into a
+    (rows × dim) numpy view and scored with one BLAS matvec; only
+    (id, score) flows back. For a pure numeric kernel this skips
+    pandas' block manager entirely — the shape to reach for when the
+    per-batch work is one vectorized call.
+
+    Float contract: scores are float64 accumulated by BLAS, which can
+    differ from the Catalyst aggregate-fold path in the last ulps —
+    equivalence to the expression kernel is asserted to 1e-9 (not
+    bit-exact) in tests/test_arrow.py. Use ONE kernel per pipeline for
+    reproducibility; this exists as the fast path, the expression path
+    stays the oracle-exact one."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            emb = b.column(vec_col)
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(b.num_rows, -1)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            s = (m @ q) / (norms * qn)
+            yield pa.record_batch(
+                [b.column(id_col), pa.array(s, type=pa.float64())],
+                names=[id_col, "score"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} long, score double"
+    )

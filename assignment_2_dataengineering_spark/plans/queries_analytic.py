@@ -580,3 +580,38 @@ def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+_PORTABLE_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           round(avg(o.o_totalprice), 4) AS avg_order
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND o.o_orderstatus <> 'P'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@register(
+    "q_sql_api",
+    oracle=_PORTABLE_SQL,
+    tags=("relational", "sql"),
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface as a first-class entry point: ONE portable
+    ANSI text — the module-level constant IS the oracle string,
+    verbatim — runs through Spark SQL here and through DuckDB as the
+    oracle. Everything else in the registry is DataFrame-API; a user
+    who thinks in SQL gets the same Catalyst plan (same pushdown, same
+    broadcast, same AQE) from the text form, and this query pins that
+    the engine's temp-view + spark.sql path exists and agrees
+    cross-engine to the hash."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_SQL)
