@@ -901,3 +901,117 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+@register(
+    "q_corpus_pipeline_v2",
+    oracle="""
+    WITH capped AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 1103515245 + 12345) % 2147483648,
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) r WHERE rk <= 20
+    ),
+    arrs AS (SELECT doc_id, string_split(text, ' ') AS w FROM capped),
+    toks AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(w)),
+                          i -> struct_pack(pos := i, tok := w[i + 1]))) AS u
+            FROM arrs)
+    ),
+    sh AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(greatest(len(w) - 9, 0)),
+                       i -> struct_pack(pos := i,
+                                        g := array_to_string(w[i + 1 : i + 10], ' '))
+                   )) AS u
+            FROM arrs)
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, cpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + 10)) AS cpos
+            FROM occ WHERE rn > 1)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        WHERE c.doc_id IS NULL
+    ),
+    cleaned AS (
+        SELECT ka.doc_id,
+               string_agg(ka.tok, ' ' ORDER BY ka.pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM kept ka GROUP BY ka.doc_id
+    ),
+    gated AS (
+        SELECT c.doc_id, cp.source, c.text, c.n_tokens
+        FROM cleaned c
+        JOIN capped cp USING (doc_id)
+        JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig
+              FROM toks GROUP BY doc_id) t USING (doc_id)
+        WHERE c.n_tokens >= 5
+          AND c.n_tokens * 1.0 / t.n_orig > 0.2
+    )
+    SELECT doc_id, source, n_tokens,
+           CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 80
+                THEN 'train'
+                WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split,
+           md5(text) AS text_hash
+    FROM gated
+    """,
+    tags=("corpus", "pipeline"),
+    bench=True,  # the composed cap -> span-dedup -> gate -> split path
+)
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition of this round's corpus operators, checked
+    as ONE pipeline against ONE oracle: per-source cap (20/source,
+    hash-ordered) → exact substring dedup (10-gram spans, survivors
+    reassembled) → quality gate (≥ 5 clean tokens AND > 20% of the
+    original survived — mostly-duplicated shells drop) → deterministic
+    80/10/10 split → narrow manifest (id, source, token count, split,
+    md5 of cleaned text). Each stage is individually oracle-paired
+    elsewhere (q_domain_cap, q_span_dedup, q_hash_split); this pins
+    that their COMPOSITION agrees cross-engine — stage coupling, not
+    just stage correctness. Scale shape: cap and dedup are the only
+    shuffles; gate/split/hash are scan-local; the manifest is what a
+    training job actually consumes (text travels by hash, not by
+    value)."""
+    from ..operators.dedup import span_dedup
+    from ..operators.sampling import cap_per_group, split_label
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    capped = cap_per_group(docs, "source", k=20, id_col="doc_id").select(
+        "doc_id", "source", "text"
+    )
+    cleaned = span_dedup(capped.select("doc_id", "text"), n=10)
+    gated = (
+        cleaned.join(capped.select("doc_id", "source"), "doc_id")
+        .withColumn("__n_clean", F.col("n_tokens") - F.col("n_removed"))
+        .filter(
+            (F.col("__n_clean") >= 5)
+            & (F.col("__n_clean") * 1.0 / F.col("n_tokens") > 0.2)
+        )
+    )
+    return gated.select(
+        "doc_id",
+        "source",
+        F.col("__n_clean").alias("n_tokens"),
+        split_label(F.col("doc_id"), train_pct=80, val_pct=10).alias("split"),
+        F.md5("text").alias("text_hash"),
+    )
