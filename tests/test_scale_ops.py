@@ -222,3 +222,62 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+class TestScd2Merge:
+    """operators/relational.scd2_merge — version-chain semantics across
+    sequential CDC batches (the oracle covers one batch; this pins the
+    chain)."""
+
+    def _dim(self, spark, rows):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        schema = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("bal", DoubleType()),
+                StructField("valid_from", TimestampType()),
+                StructField("valid_to", TimestampType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def test_two_batch_version_chain(self, spark):
+        import datetime as dt
+
+        from assignment_2_dataengineering_spark.operators.relational import (
+            scd2_merge,
+        )
+
+        t0 = dt.datetime(2020, 1, 1)
+        t1 = dt.datetime(2021, 1, 1)
+        t2 = dt.datetime(2022, 1, 1)
+        target = self._dim(spark, [(1, 10.0, t0, None), (2, 20.0, t0, None)])
+        upd = lambda rows: spark.createDataFrame(rows, "k long, bal double, ts timestamp")
+
+        # batch 1: key 1 changes, key 2 no-op, key 3 inserts
+        v1 = scd2_merge(
+            target, upd([(1, 11.0, t1), (2, 20.0, t1), (3, 30.0, t1)]),
+            keys=["k"], attrs=["bal"],
+        )
+        # batch 2: key 1 changes again
+        v2 = scd2_merge(v1, upd([(1, 12.0, t2)]), keys=["k"], attrs=["bal"])
+        rows = sorted(
+            (r["k"], r["bal"], r["valid_from"], r["valid_to"]) for r in v2.collect()
+        )
+        assert rows == [
+            (1, 10.0, t0, t1),   # closed by batch 1
+            (1, 11.0, t1, t2),   # closed by batch 2
+            (1, 12.0, t2, None),  # current
+            (2, 20.0, t0, None),  # no-op never versioned
+            (3, 30.0, t1, None),  # inserted current
+        ]
+        # exactly one current row per key, and chains are contiguous
+        cur = [r for r in rows if r[3] is None]
+        assert sorted(r[0] for r in cur) == [1, 2, 3]
