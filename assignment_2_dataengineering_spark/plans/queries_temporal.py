@@ -250,3 +250,128 @@ def q_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    counts users whose stage event happened STRICTLY AFTER their
+    previous stage's first event — the ordering constraint that
+    separates a funnel from three independent counts. Three stage
+    aggregates, each keyed on user_id so the per-user partitioning is
+    reused; stage k joins only stage k−1's survivors (monotonically
+    shrinking). The scalar summary row makes the conversion rates."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") * 1.0 / F.col("n_view"), 4).alias(
+                "view_to_click"
+            ),
+            F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 4).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+               AS week_n,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_n
+    ORDER BY f.cohort_week, week_n
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted as active for each subsequent week they appear — the
+    standard growth-analytics rollup. Both engines truncate to ISO
+    Monday weeks, and week_n is exact integer day arithmetic. Two
+    keyed aggregates (first-seen per user, distinct user-week) and one
+    join on user_id; the triangle itself is a tiny final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    # to_date: DuckDB's week date_trunc yields DATE, Spark's TIMESTAMP —
+    # align the output type (weeks are dates; midnight carries nothing).
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_n")
+    )
