@@ -615,3 +615,38 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "q_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY iso_dow, hour_of_day
+    ORDER BY iso_dow, hour_of_day
+    """,
+    tags=("agg", "calendar"),
+)
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × ISO-weekday activity heatmap — the dashboard
+    binning every event product renders. The calendar-function parity
+    is the point: Spark's dayofweek is Sunday=1 while DuckDB's isodow
+    is Monday=1, so the engine normalizes to ISO numbering with exact
+    integer arithmetic instead of trusting either engine's default.
+    One scan, one 168-cell aggregate — map-side combine does nearly
+    all the work at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = (F.dayofweek("ts") + 5) % 7 + 1
+    return (
+        ev.groupBy(
+            iso_dow.alias("iso_dow"), F.hour("ts").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("iso_dow", "hour_of_day")
+    )

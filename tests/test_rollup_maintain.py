@@ -73,3 +73,51 @@ def test_pointer_survives_unpublished_write(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(os.path.join(table_dir, "data_v99"))
     after = sorted(tuple(r) for r in current_rollup(spark, table_dir).collect())
     assert after == before
+
+
+def test_wired_into_real_stream(spark, sf_dir, tmp_path):
+    """The worker composes with an actual Structured Streaming query:
+    a parquet file source split into micro-batches drives foreachBatch,
+    and the published rollup equals the one-shot batch aggregate."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "rollup_stream")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # several input files → several micro-batches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_rollup_batch(table_dir, ["event_type"])
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["min_value"], r["max_value"])
+        for r in current_rollup(spark, table_dir).collect()
+    }
+    want = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["min_value"], r["max_value"])
+        for r in ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want and got
