@@ -451,21 +451,54 @@ def simhash_pairs(
     sh = simhash64(df, text_col, id_col, seed).select(
         F.col(id_col), F.explode(F.array("simhash")).alias("simhash")
     )
+    return hamming_pairs64(
+        sh,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs64(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic 64-bit-signature Hamming near-dup pairs — the banded
+    self-join half of simhash_pairs, factored so any 64-bit fingerprint
+    (SimHash text sigs, perceptual media hashes) reuses the same
+    complete pigeonhole banding + streamed verify. Input is (id, sig
+    long) with `sig` ALREADY materialized (behind a Generate barrier if
+    it came from a wide expression — see simhash_pairs); this function
+    only shifts/masks it. Completeness, skew cap, and scale rationale:
+    see simhash_pairs' docstring."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} <= max_hamming={max_hamming}: pigeonhole banding is "
+            "complete only for Hamming < blocks; use blocks >= max_hamming + 1"
+        )
     # Contiguous near-equal block boundaries (64 need not divide evenly).
     bounds = [bi * 64 // blocks for bi in range(blocks + 1)]
     block_cols = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), bounds[bi])
+                F.shiftrightunsigned(F.col(sig_col), bounds[bi])
                 .bitwiseAND(F.lit((1 << (bounds[bi + 1] - bounds[bi])) - 1))
                 .alias("bucket"),
             )
             for bi in range(blocks)
         ]
     )
-    buckets = sh.select(F.col(id_col), F.col("simhash"), F.explode(block_cols).alias("bb")).select(
-        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = sigs.select(F.col(id_col), F.col(sig_col), F.explode(block_cols).alias("bb")).select(
+        id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
@@ -475,10 +508,10 @@ def simhash_pairs(
             .drop("__rk")
         )
     a = buckets.select(
-        "band", "bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a")
+        "band", "bucket", F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a")
     )
     b = buckets.select(
-        "band", "bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b")
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b")
     )
     hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
     return (

@@ -190,3 +190,75 @@ def resize_images(media: DataFrame) -> DataFrame:
     return media.withColumn("resized", _resize_cycle("payload", out_n)).withColumn(
         "resized_len", F.length("resized")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: 64-bit media fingerprints + Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _phash_kernel(payload: bytes, fmt: str) -> int:
+    """64-bit perceptual hash of a decoded payload: mean-pool the byte
+    signal into 64 buckets, threshold each bucket against the median
+    bucket energy (the aHash/pHash shape — resample, then
+    median-threshold to bits; a real image pHash swaps the pooling for
+    a DCT low-band, through the same decode seam). Deterministic,
+    content-addressed: byte-identical payloads hash identically, and
+    small local edits flip only the buckets they touch."""
+    a = decode_payload(fmt, payload).astype(np.float64)
+    if a.size == 0:
+        return 0
+    pooled = np.resize(a, (64, max(a.size // 64, 1))).mean(axis=1)
+    med = float(np.median(pooled))
+    bits = pooled > med
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) via mapInPandas over Arrow batches: bytes cross
+    into Python once per partition batch, only 8-byte hashes come back
+    — the payload column never travels further (at 100 TB the pair
+    search downstream shuffles longs, not media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fmts = pdf["media"].map(lambda m: m["format"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": [
+                        _phash_kernel(p, f)
+                        for p, f in zip(pdf["payload"], fmts)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, "doc_id long, phash long")
+
+
+def phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 8,
+    blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs at perceptual-hash Hamming distance ≤
+    max_hamming: phash64 fingerprints feed the generic complete
+    pigeonhole banding (operators/dedup.py hamming_pairs64 — blocks ≥
+    max_hamming + 1, streamed equal-block self-join, deterministic
+    skew cap). The one Python crossing is the hash itself; candidate
+    generation and the bit_count verify are pure Catalyst over longs."""
+    from .dedup import hamming_pairs64
+
+    return hamming_pairs64(
+        phash64(media),
+        id_col="doc_id",
+        sig_col="phash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket_size=max_bucket_size,
+    )

@@ -692,3 +692,87 @@ def arrow_cosine_scores(
     return corpus.select(id_col, vec_col).mapInArrow(
         kernel, f"{id_col} long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: cluster, then near-dup within cell
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023 SemDeDup tier): k-means
+    partitions the embedding space, then near-duplicates are resolved
+    WITHIN each cell by greedy keep-lowest-id — every vector whose
+    cosine similarity to an already-kept vector in its cell reaches
+    `threshold` is dropped and records which keeper it duplicates.
+
+    Scale shape: the quadratic step is confined to single cells — one
+    shuffle on `cell`, per-cell matrices on executors via grouped-map
+    applyInPandas (never a corpus-wide self-join), incremental
+    kept-matrix dot products inside the kernel. Cell population at
+    100 TB is |corpus|/k with k sized so a cell fits an executor
+    (k ~ 10⁵ for 10⁹ docs); `max_cell_size` is the deterministic skew
+    guard (keeps the lowest-id members, same contract as
+    dedup.bucket_pairs). Determinism: centroid training is
+    deterministic (train_centroids), assignment is by value, the
+    within-cell scan is id-ordered, and the keeper is the FIRST kept
+    match in id order — no tie depends on partitioning.
+
+    Returns (id, cell, keep, duplicate_of): `keep` partitions the
+    input; duplicate_of is null iff keep."""
+    cents = train_centroids(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assign, _ = _centroid_kernels(cents)
+    assigned = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).withColumn("cell", assign(F.col("__v")))
+
+    thr = float(threshold)
+    cap = max_cell_size
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        if cap is not None:
+            pdf = pdf.iloc[:cap]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.sqrt((V * V).sum(1))
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                sims = V[kept_rows] @ V[i]
+                hits = np.nonzero(sims >= thr)[0]
+                if len(hits):
+                    keep[i] = False
+                    dup_of[i] = pdf["id"].iloc[kept_rows[int(hits[0])]]
+                    continue
+            kept_rows.append(i)
+        out = pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "keep": keep,
+                "duplicate_of": dup_of,
+            }
+        )
+        out["duplicate_of"] = out["duplicate_of"].astype("object")
+        out.loc[keep, "duplicate_of"] = None
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, "id long, cell int, keep boolean, duplicate_of long"
+    )

@@ -650,3 +650,51 @@ def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hour_of_day")
     )
+
+
+@register(
+    "q_outliers",
+    oracle="""
+    WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    d AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round(0.6745 * (e.value - m.med) / d.mad, 4) AS robust_z
+    FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+    WHERE abs(0.6745 * (e.value - m.med) / d.mad) > 2.5
+    ORDER BY e.event_id
+    """,
+    tags=("agg", "stats"),
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier detection — the modified z-score
+    (0.6745·(v − median)/MAD, Iglewicz–Hoaglin) flagging rows beyond
+    2.5, the data-quality gate q_mad's dispersion statistic exists to
+    feed. Three passes by necessity (median, MAD-of-residuals, flag),
+    each a keyed aggregate broadcast back as a 5-row stats table — the
+    fact table is scanned, never shuffled on a non-key. Both engines
+    interpolate the same exact medians over identical doubles, so the
+    threshold comparison and 4dp rounds are deterministic. At 100 TB
+    the flag pass is scan-speed with two broadcast hash joins."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(d), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )

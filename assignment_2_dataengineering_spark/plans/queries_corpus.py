@@ -1015,3 +1015,114 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_label(F.col("doc_id"), train_pct=80, val_pct=10).alias("split"),
         F.md5("text").alias("text_hash"),
     )
+
+
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN {_BM25_TERMS} GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    term_scores AS (
+        SELECT t.doc_id, t.token,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1.0)
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               AS ts
+        FROM tf t
+        JOIN dfreq d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(min(CASE WHEN token = '{_BM25_TERMS[0]}' THEN ts END), 0.0)
+             + coalesce(min(CASE WHEN token = '{_BM25_TERMS[1]}' THEN ts END), 0.0)
+             + coalesce(min(CASE WHEN token = '{_BM25_TERMS[2]}' THEN ts END), 0.0)
+               AS score
+        FROM term_scores GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM per_doc
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval"),
+    bench=True,  # multi-agg + broadcast-scalar + top-k retrieval family
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75, Lucene non-negative idf) top-20
+    retrieval for a fixed 3-term query over `documents` — the lexical
+    retrieval baseline every RAG/pretraining-search stack keeps beside
+    its ANN tier (reference has no search surface; engine extension per
+    the brief, companion to q_tfidf).
+
+    Scale shape: the term filter lands BEFORE the tf aggregate, so the
+    per-(doc,term) shuffle carries only rows containing query terms —
+    at 100 TB the tf/df tables are |hits|-sized, not |tokens|-sized.
+    Document length and corpus avgdl come from a separate full-scan
+    aggregate whose output is |docs| + one broadcast scalar (exact
+    integer sums divided once, so both engines see bit-identical
+    doubles). Per-term scores are summed in FIXED textual order via
+    conditional aggregation (each term contributes exactly one value
+    per doc, `min` collapses it) — never a shuffle-order-dependent
+    float sum — making the 4dp round + (score, doc_id) top-k cut
+    deterministic cross-engine. Final top-k is TakeOrdered, not a
+    single-partition global sort."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    ts = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("ts"),
+        )
+    )
+    term_col = [
+        F.coalesce(
+            F.min(F.when(F.col("token") == t, F.col("ts"))), F.lit(0.0)
+        )
+        for t in _BM25_TERMS
+    ]
+    per_doc = ts.groupBy("doc_id").agg(
+        (term_col[0] + term_col[1] + term_col[2]).alias("score")
+    )
+    return (
+        per_doc.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

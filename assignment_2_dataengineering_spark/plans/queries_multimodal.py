@@ -134,3 +134,22 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("resized_len"),
         F.col("byte_sum").alias("resized_byte_sum"),
     )
+
+
+@register(
+    "q_media_phash",
+    oracle=None,  # banded candidate generation → rows-only; invariants in tests/test_multimodal.py
+    tags=("multimodal", "dedup"),
+)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs (operators/
+    multimodal.py phash64 + operators/dedup.py hamming_pairs64): 64-bit
+    content fingerprints from the Arrow-batched decode seam, complete
+    pigeonhole banding (blocks = max_hamming + 1), bit_count verify.
+    Only 8-byte hashes shuffle — payload bytes never leave the scan.
+    Invariants (byte-identical payloads pair at distance 0, pair set ≡
+    brute-force pairwise Hamming, skew cap determinism) pinned in
+    tests/test_multimodal.py."""
+    return MM.phash_pairs(_media(spark, sf_dir), max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )

@@ -220,3 +220,26 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(scale, 6).alias("scale"),
         )
     )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=None,  # clustered greedy resolution → rows-only; invariants in tests/test_semantic_dedup.py
+    tags=("similarity", "dedup", "udf"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-tier semantic deduplication over `embeddings`
+    (operators/similarity.py semantic_dedup): deterministic k-means
+    cells, greedy keep-lowest-id within each cell at a cosine
+    threshold. The quadratic work is cell-confined (one shuffle on
+    cell, grouped applyInPandas kernel) — never a corpus self-join.
+    The synthetic embeddings carry no true near-dups (max pairwise
+    cosine ≈ 0.51 at sf0.01), so the registered threshold sits at 0.45
+    to exercise the drop path on real data; production semantics
+    (≥ 0.9 duplicates) are pinned on constructed-duplicate fixtures in
+    tests/test_semantic_dedup.py: keep/drop partitions the input,
+    every drop's exact cosine to its keeper ≥ threshold, keeper ids
+    precede their duplicates, and single-cell mode reproduces the
+    brute-force greedy result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, k=16, iters=3, threshold=0.45).orderBy("id")

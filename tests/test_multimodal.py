@@ -92,3 +92,67 @@ def test_decode_seam_raises_for_real_formats(spark):
 
 def test_feature_schema_stable(media):
     assert MM.extract_features(media).schema == MM.FEATURE_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (phash64 / phash_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _brute_hamming_pairs(hashes: dict[int, int], max_hamming: int) -> set[tuple[int, int, int]]:
+    ids = sorted(hashes)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.add((a, b, d))
+    return out
+
+
+def test_phash_deterministic_and_content_addressed(media):
+    h1 = {r.doc_id: r.phash for r in MM.phash64(media).collect()}
+    h2 = {r.doc_id: r.phash for r in MM.phash64(media).collect()}
+    assert h1 == h2
+    assert len(h1) == media.count()
+
+
+def test_phash_identical_payloads_pair_at_distance_zero(spark, media):
+    """A byte-identical copy of a payload under a fresh id must be
+    found at Hamming 0 — the true-positive completeness contract."""
+    dup = media.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    pairs = MM.phash_pairs(media.unionByName(dup), max_hamming=6).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for i in range(3):
+        assert got.get((i, i + 100000)) == 0
+
+
+def test_phash_pairs_equal_bruteforce(media):
+    """Banded candidate generation is COMPLETE for d <= max_hamming
+    (blocks = max_hamming + 1 pigeonhole): the pair set must equal
+    brute-force pairwise Hamming over all signatures — no recall loss,
+    no false extras (the verify filter is exact)."""
+    hashes = {r.doc_id: r.phash for r in MM.phash64(media).collect()}
+    for mh in (2, 6):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in MM.phash_pairs(media, max_hamming=mh).collect()
+        }
+        assert got == _brute_hamming_pairs(hashes, mh)
+
+
+def test_phash_blocks_guard(media):
+    with pytest.raises(ValueError):
+        MM.phash_pairs(media, max_hamming=8, blocks=8).collect()
+
+
+def test_phash_bucket_cap_subset_and_deterministic(media):
+    full = {
+        (r.id_a, r.id_b) for r in MM.phash_pairs(media, max_hamming=6).collect()
+    }
+    capped_df = MM.phash_pairs(media, max_hamming=6, max_bucket_size=5)
+    capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    assert capped <= full
+    assert capped == {(r.id_a, r.id_b) for r in capped_df.collect()}
