@@ -218,3 +218,56 @@ def scd2_merge(
         .unionByName(new_versions)
         .unionByName(inserts)
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Tombstone-aware CDC apply — the missing third of the merge
+    family (merge_upsert has no deletes; scd2_merge keeps history):
+    fold an ordered changelog of upserts and deletes into a snapshot,
+    producing the post-image. Per key, only the LAST change (by
+    `order`, a total order within key — include a unique sequence
+    column) matters: a trailing delete removes the key, a trailing
+    upsert's row wins wholesale; keys untouched by the changelog pass
+    through.
+
+    Plan: latest-per-key over the changelog (one keyed window shuffle —
+    earlier changes for a key never join anything), then ONE full-outer
+    join against the snapshot with the delete filter applied after the
+    join (an anti-join + union form would scan the snapshot twice).
+    At 100 TB both sides hash-partition on the key once; a bucketed
+    snapshot drops its exchange. Changelog columns must cover snapshot
+    columns plus `op_col`."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+    last = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    t, s = snapshot.alias("__t"), last.alias("__s")
+    cond = None
+    for k in keys:
+        c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+        cond = c if cond is None else (cond & c)
+    out_cols = [
+        F.coalesce(F.col(f"__s.{k}"), F.col(f"__t.{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col(f"__s.{op_col}").isNotNull(), F.col(f"__s.{c}"))
+        .otherwise(F.col(f"__t.{c}"))
+        .alias(c)
+        for c in snapshot.columns
+        if c not in keys
+    ]
+    return (
+        t.join(s, cond, "full_outer")
+        .filter(
+            F.col(f"__s.{op_col}").isNull() | (F.col(f"__s.{op_col}") != delete_op)
+        )
+        .select(*out_cols)
+    )

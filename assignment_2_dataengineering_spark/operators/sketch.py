@@ -168,3 +168,109 @@ def estimate_freq(
                 tuple(r[g] for g in group_cols) + (it, cms.estimateCount(it))
             )
     return spark.createDataFrame(rows, group_cols + [item_col, est_col])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter tier: mergeable MEMBERSHIP sketches — the third leg of the
+# sketch family (HLL: how many distinct; CMS: how often; Bloom: have we
+# seen this key at all). The bitmap lives as 64-bit words in ROWS
+# ((group, word_idx, word)), not a blob: building is a pure Catalyst
+# bit_or aggregate, merging is the SAME bit_or aggregate one level up
+# (associative ⇒ day-grain merge is bit-identical to a one-shot build),
+# and membership probes are a keyed join — no Python, no driver round-trip.
+# The classic uses at 100 TB: shipping a compact "seen keys" summary
+# between pipeline stages (e.g. dedup against last month without
+# rescanning it), and pre-filtering a join's big side against the small
+# side's key set.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value, m_bits: int, k_hashes: int, seed: int):
+    """k hash positions in [0, m_bits): double hashing h1 + i·h2 (Kirsch
+    & Mitzenmacher 2006 — two xxhash64 evaluations give k independent-
+    enough probes; h2 forced odd so it cycles the full table when
+    m_bits is a power of two)."""
+    h1 = F.pmod(F.xxhash64(value, F.lit(seed)), F.lit(m_bits))
+    # reduce mod m BEFORE combining (ANSI mode rejects the h1 + i·h2
+    # long overflow); forcing h2 odd after the mod keeps the full-cycle
+    # property for power-of-two m_bits
+    h2 = F.pmod(F.xxhash64(value, F.lit(seed + 1)), F.lit(m_bits)).bitwiseOR(F.lit(1))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)]
+    )
+
+
+def sketch_bloom(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Bloom bitmap as (group..., word_idx, word) rows.
+
+    One shuffle on (group, word_idx) with map-side partial bit_or —
+    each partition ships ≤ m_bits/64 long rows per group, never its
+    values. Only SET words are stored (absent word_idx = zero word), so
+    a sparse group costs rows proportional to its distinct keys, not
+    m_bits. Persist at the finest grain; coarser membership tables come
+    from `rollup_bloom` without rescanning facts."""
+    pos = F.explode(_bloom_positions(F.col(value_col), m_bits, k_hashes, seed))
+    return (
+        df.select(*group_cols, pos.alias("__pos"))
+        .select(
+            *group_cols,
+            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bit"),
+        )
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def rollup_bloom(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge fine-grained Bloom words up to `group_cols`: the identical
+    bit_or aggregate one level coarser. Because bit_or is associative
+    and commutative, the rollup is BIT-IDENTICAL to sketching the
+    merged scope in one pass (pinned in tests/test_bloom.py) — same
+    (m_bits, k_hashes, seed) required, same contract as the CMS tier."""
+    return sketches.groupBy(*group_cols, "word_idx").agg(
+        F.bit_or("word").alias("word")
+    )
+
+
+def member_bloom(
+    probes: DataFrame,
+    sketch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Membership probe: for each (probe row × its sketch group), true
+    iff ALL k bit positions are set. Guarantees: never a false negative
+    for an inserted key; false-positive probability ≈ (1−e^(−k·n/m))^k
+    (both pinned in tests/test_bloom.py). Plan: probes explode to k
+    (group, word_idx, bit) rows, LEFT join the sketch words (missing
+    word ⇒ bit unset), groupBy probe — the probe side is typically tiny
+    and broadcastable; the sketch side never exceeds groups × m/64
+    rows."""
+    pos = F.explode(_bloom_positions(F.col(value_col), m_bits, k_hashes, seed))
+    want = probes.select(*group_cols, value_col, pos.alias("__pos")).select(
+        *group_cols,
+        value_col,
+        (F.col("__pos") / 64).cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bit"),
+    )
+    hit = F.when(
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("__bit")) != 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        want.join(sketch, [*group_cols, "word_idx"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg((F.min(hit) == 1).alias("maybe_present"))
+    )

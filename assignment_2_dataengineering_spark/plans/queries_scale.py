@@ -304,3 +304,109 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         target, updates, keys=["c_custkey"], attrs=["c_acctbal"], ts_col="ts"
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value, ts FROM (
+            SELECT user_id, value, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0)
+        WHERE rn = 1
+    ),
+    last_chg AS (
+        SELECT user_id, value, ts, op FROM (
+            SELECT user_id, value, ts,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 1)
+        WHERE rn = 1
+    )
+    SELECT coalesce(l.user_id, b.user_id) AS user_id,
+           round(CASE WHEN l.op IS NOT NULL THEN l.value ELSE b.value END, 4)
+               AS value,
+           CASE WHEN l.op IS NOT NULL THEN l.ts ELSE b.ts END AS ts
+    FROM base b FULL OUTER JOIN last_chg l ON b.user_id = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("scale", "merge", "cdc"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware CDC apply (operators/relational.py
+    apply_changelog) — the delete-capable third of the merge family
+    (merge_upsert upserts only; scd2_merge versions history). The
+    changelog is derived deterministically from `events`: odd event_ids
+    are changes ordered by (ts, event_id), `error` events are delete
+    tombstones, everything else upserts; the snapshot is latest-per-key
+    over the even half. Per key only the trailing change survives the
+    keyed window; one full-outer join applies it, with tombstones
+    filtered post-join so the snapshot is scanned once. The oracle is
+    the same fold in plain SQL — the hash match proves upsert/delete/
+    passthrough semantics, not just row counts."""
+    from ..operators.relational import apply_changelog, latest_per_key
+
+    ev = T(spark, sf_dir, "events")
+    base = latest_per_key(
+        ev.filter(F.col("event_id") % 2 == 0).select("user_id", "value", "ts", "event_id"),
+        ["user_id"],
+        "ts",
+        tiebreak=["event_id"],
+    ).select("user_id", "value", "ts")
+    changes = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "user_id",
+            "value",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    applied = apply_changelog(
+        base, changes, keys=["user_id"], order=["ts", "event_id"]
+    )
+    return applied.select(
+        "user_id", F.round("value", 4).alias("value"), "ts"
+    )
+
+
+@register(
+    "q_bloom_membership",
+    oracle=None,  # probabilistic membership (false positives possible) → rows-only; bounds in tests/test_bloom.py
+    tags=("scale", "sketch"),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom membership tier (operators/sketch.py
+    sketch_bloom/rollup_bloom/member_bloom) — the third sketch leg
+    beside HLL cardinality (q_hll_rollup) and CMS frequency
+    (q_cms_freq): day-grain per-event-type bitmaps built by a pure
+    bit_or aggregate, merged to event_type grain (bit-identical to a
+    one-shot build — associativity pinned in tests/test_bloom.py), then
+    probed for the first 20 user ids plus 5 absent ids. Probes join
+    sketch words on (group, word_idx); no false negatives, FP rate
+    bounded in tests. At 100 TB this is the "seen-keys" summary a
+    dedup/join stage ships instead of rescanning last month's facts."""
+    from ..operators.sketch import member_bloom, rollup_bloom, sketch_bloom
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    fine = sketch_bloom(ev, ["event_type", "day"], "user_id")
+    merged = rollup_bloom(fine, ["event_type"])
+    types = ev.select("event_type").distinct()
+    probes = types.crossJoin(
+        spark.range(0, 20)
+        .select(F.col("id").alias("user_id"))
+        .unionByName(
+            spark.range(10_000_000, 10_000_005).select(F.col("id").alias("user_id"))
+        )
+    )
+    return member_bloom(probes, merged, ["event_type"], "user_id").orderBy(
+        "event_type", "user_id"
+    )

@@ -281,3 +281,54 @@ class TestScd2Merge:
         # exactly one current row per key, and chains are contiguous
         cur = [r for r in rows if r[3] is None]
         assert sorted(r[0] for r in cur) == [1, 2, 3]
+
+
+class TestApplyChangelog:
+    """operators/relational.apply_changelog — tombstone-aware CDC fold
+    (cited from plans/queries_scale.py q_cdc_apply)."""
+
+    def _apply(self, spark, snap_rows, chg_rows):
+        from assignment_2_dataengineering_spark.operators.relational import (
+            apply_changelog,
+        )
+
+        snap = spark.createDataFrame(snap_rows, "k long, v string")
+        chg = spark.createDataFrame(chg_rows, "k long, v string, seq long, op string")
+        out = apply_changelog(snap, chg, keys=["k"], order=["seq"])
+        return {r.k: r.v for r in out.collect()}
+
+    def test_upsert_delete_insert_passthrough(self, spark):
+        got = self._apply(
+            spark,
+            [(1, "a"), (2, "b"), (3, "c")],
+            [
+                (1, "a2", 10, "U"),   # update existing
+                (2, None, 11, "D"),   # delete existing
+                (4, "d", 12, "U"),    # insert new key
+            ],
+        )
+        assert got == {1: "a2", 3: "c", 4: "d"}
+
+    def test_only_trailing_change_wins(self, spark):
+        # key 1: U then D => gone; key 2: D then U => resurrected
+        got = self._apply(
+            spark,
+            [(1, "a"), (2, "b")],
+            [
+                (1, "a2", 1, "U"),
+                (1, None, 2, "D"),
+                (2, None, 1, "D"),
+                (2, "b2", 2, "U"),
+            ],
+        )
+        assert got == {2: "b2"}
+
+    def test_delete_of_absent_key_is_noop(self, spark):
+        got = self._apply(spark, [(1, "a")], [(9, None, 1, "D")])
+        assert got == {1: "a"}
+
+    def test_upsert_row_wins_wholesale(self, spark):
+        # unlike merge_upsert's per-column coalesce, a CDC post-image
+        # replaces the row: a NULL attr in the last change IS the value
+        got = self._apply(spark, [(1, "a")], [(1, None, 1, "U")])
+        assert got == {1: None}
