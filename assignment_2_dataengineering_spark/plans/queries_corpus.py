@@ -1126,3 +1126,63 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+_VOCAB_SIZE = 200
+
+
+@register(
+    "q_vocab_oov",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    vocab AS (SELECT token FROM freq ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_SIZE}),
+    flags AS (
+        SELECT t.doc_id,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+    FROM flags GROUP BY doc_id
+    """,
+    tags=("text", "tokenizer"),
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + out-of-vocabulary audit — the
+    tokenizer-prep step between raw text and sequence packing: the
+    corpus's top-V (_VOCAB_SIZE = 200) tokens by frequency (tie → lexicographic,
+    so the cut is deterministic cross-engine) become the vocabulary,
+    and every document reports its token count and OOV rate against it.
+    Plan shape: one token-frequency aggregate, a TakeOrdered top-V cut
+    (never a global sort), then the vocab — V rows, broadcast — flags
+    membership on the token stream and one keyed aggregate folds per
+    document. At 100 TB the only big shuffles are token-keyed; the
+    vocabulary itself stays driver-small by construction, which is why
+    the membership join broadcasts instead of shuffling the corpus."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_VOCAB_SIZE)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )

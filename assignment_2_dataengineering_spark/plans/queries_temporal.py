@@ -8,7 +8,7 @@ oracle (ASOF JOIN, window functions, recursive CTE)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
@@ -374,4 +374,75 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_n")
+    )
+
+
+@register(
+    "q_dedup_representative",
+    oracle="""
+    WITH RECURSIVE
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+    jp AS (SELECT id_a, id_b
+           FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+           WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION ALL SELECT id_b, id_a FROM jp),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, length(d.text) AS n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "graph"),
+)
+def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the half of dedup that
+    q_dedup_clusters stops short of: after transitive near-dup
+    resolution, each cluster keeps its best member (longest text, tie →
+    lowest doc_id — the "keep longest duplicate" rule corpus pipelines
+    standardize on) and records how many documents it absorbed. One
+    ranking window over the (doc, cluster) table joined to doc lengths;
+    the oracle extends q_dedup_clusters' recursive-CTE closure with the
+    same argmax, so the hash match pins selection, not just clustering.
+    At 100 TB the window shuffles (cluster_id, n_chars) pairs only —
+    text stays in the scan."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = DD.dedup_clusters(pairs, docs.select("doc_id"))
+    sized = clusters.join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sized.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
     )

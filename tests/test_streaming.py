@@ -513,3 +513,102 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path_factory, event_lin
     assert got.count() == want.count() > n_phase1
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_join_emits_null_matches(
+    spark, tmp_path_factory, event_lines
+):
+    """Stream-stream LEFT OUTER interval join: facility events with no
+    market row within the bound must still emit (market side null) —
+    but only once the watermark passes ts + bound, so the test appends
+    far-future sentinel events on BOTH sides (the global watermark is
+    the min across inputs) to flush every pending outer row. End state
+    ≡ the identical batch left join over the same (non-sentinel)
+    lines."""
+    import json as _json
+
+    from assignment_2_dataengineering_spark.plans import nem_etl
+    from assignment_2_dataengineering_spark.schemas import FUELTECH_SCHEMA
+    from assignment_2_dataengineering_spark.streaming import joins
+
+    facs = nem_etl.load_facilities_json(spark, nem.facilities_raw())
+    fuel = spark.createDataFrame(nem.fueltech_map(), FUELTECH_SCHEMA)
+    lookup = nem_etl.flatten_facilities(facs, fuel)
+
+    fac_code = next(
+        f["code"]
+        for f in nem.facilities_raw()
+        if f["network_region"] != "WEM"
+        and any(u["status_id"] == "operating" for u in f["units"])
+    )
+    far = "2025-10-17T10:00:00+10:00"  # 2 days past the fixture span
+    sentinels = [
+        _json.dumps(
+            {"facility_id": fac_code, "timestamp": far, "power_mw": 1.0, "co2_tonnes": 1.0}
+        ),
+        _json.dumps(
+            {"region_id": "NSW1", "timestamp": far, "price_dmwh": 1.0, "demand_mw": 1.0}
+        ),
+    ]
+    lines = list(event_lines) + sentinels
+
+    src = str(tmp_path_factory.mktemp("ssj_outer_replay"))
+    replay.write_replay_chunks(lines, src, events_per_file=200)
+
+    def fac_side(df):
+        return ingest.enrich_facility_events(
+            ingest.facility_branch(ingest.parse_events(df)), lookup
+        ).select("facility_id", "ts", "region")
+
+    def mkt_side(df):
+        # restrict the market side to one region so most facility rows
+        # genuinely have no match — the outer path is the subject here
+        return (
+            ingest.market_branch(ingest.parse_events(df))
+            .filter(F.col("region_id") == "NSW1")
+            .select("region_id", F.col("ts").alias("m_ts"), "price_dmwh")
+        )
+
+    joined = joins.stream_interval_join(
+        fac_side(replay.file_replay_stream(spark, src)),
+        mkt_side(replay.file_replay_stream(spark, src)),
+        "region",
+        "region_id",
+        "ts",
+        "m_ts",
+        bound="5 minutes",
+        watermark="6 hours",  # beyond the fixture span: no late-drops;
+        # the +2d sentinel still pushes the watermark far enough to
+        # flush every pending outer row
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_ssj_outer")))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ssj_outer_sink").filter(
+        F.col("ts") < "2025-10-16"  # exclude only the sentinel rows
+    )
+
+    raw = spark.createDataFrame([(l,) for l in event_lines], "value string")
+    want = joins.stream_interval_join(
+        fac_side(raw),
+        mkt_side(raw),
+        "region",
+        "region_id",
+        "ts",
+        "m_ts",
+        bound="5 minutes",
+        how="left_outer",
+    )
+    cols = ["facility_id", "ts", "region", "region_id", "m_ts", "price_dmwh"]
+    got_rows = sorted(tuple(r) for r in got.select(*cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(*cols).collect())
+    # the outer path must actually fire: non-NSW1 facilities have no match
+    assert any(r[3] is None for r in want_rows)
+    assert got_rows == want_rows
