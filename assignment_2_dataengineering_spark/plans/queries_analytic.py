@@ -698,3 +698,118 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_cooccurrence",
+    oracle="""
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+    supp AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM ue GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS DOUBLE) AS n_both
+        FROM ue a JOIN ue b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(n_both / n.n_users, 4) AS support,
+           round(n_both * n.n_users / (sa.n * sb.n), 4) AS lift
+    FROM pairs
+    JOIN supp sa ON type_a = sa.event_type
+    JOIN supp sb ON type_b = sb.event_type
+    CROSS JOIN n
+    """,
+    tags=("agg", "stats"),
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with support and lift — the 2-itemset
+    market-basket analysis every behavioral pipeline runs. Scale shape:
+    pairs come from groupBy(user).collect_set + in-row pair expansion
+    (the bucket_pairs trick — a per-user set is ≤|event types|, so
+    fan-out is bounded by a constant, never a self-join of the fact
+    table on user_id); supports broadcast back onto the pair table.
+    The oracle is the literal distinct self-join, feasible only at
+    oracle scale — the collect_set form is the 100 TB plan."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
+    supp = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sets = ue.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + F.lit(2), F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("__na"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("__nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.col("n_users"), 4).alias("support"),
+            F.round(
+                F.col("n_both") * F.col("n_users") / (F.col("__na") * F.col("__nb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_pop_delta",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS revenue
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, revenue,
+           round(revenue - lag(revenue) OVER w, 4) AS delta,
+           round((revenue - lag(revenue) OVER w)
+                 / nullif(abs(lag(revenue) OVER w), 0.0), 4) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    tags=("window", "stats"),
+)
+def q_pop_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas — daily revenue per event type with
+    absolute and percent change vs the previous observed day (lag over
+    the day order; first day yields nulls, zero-base days yield null
+    pct via nullif — no ±inf). The aggregate and the lag window share
+    the event_type partitioning: one shuffle, then a per-key ordered
+    pass. The 4dp round happens on the SUM before the subtraction so
+    both engines difference identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("delta"),
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(F.abs(prev), F.lit(0.0)), 4
+        ).alias("pct_change"),
+    )

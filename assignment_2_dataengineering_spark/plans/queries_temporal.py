@@ -446,3 +446,67 @@ def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "q_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS bucket,
+               value, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts ASC, event_id ASC) AS rn_open,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM b
+    )
+    SELECT event_type, bucket,
+           round(min(CASE WHEN rn_open = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(min(CASE WHEN rn_close = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+    tags=("temporal", "agg"),
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the canonical time-series compaction
+    (open/high/low/close + tick count per key × hour). First/last are
+    defined by the TOTAL order (ts, event_id), never arrival order:
+    two ranking windows mark the endpoints, one aggregate folds the
+    bar, deterministic cross-engine. Both windows and the aggregate
+    share the same (event_type, bucket-aligned) partitioning, so at
+    100 TB this is one shuffle wide — and the streaming analog is the
+    same expression over a tumbling window."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        ).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_open = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_close = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.round(F.min(F.when(F.col("rn_open") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.min(F.when(F.col("rn_close") == 1, F.col("value"))), 4).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
