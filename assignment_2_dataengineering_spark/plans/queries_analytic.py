@@ -813,3 +813,65 @@ def q_pop_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - prev) / F.nullif(F.abs(prev), F.lit(0.0)), 4
         ).alias("pct_change"),
     )
+
+
+@register(
+    "q_abtest",
+    oracle="""
+    WITH armed AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS DOUBLE) AS na,
+               CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS DOUBLE) AS nb,
+               avg(CASE WHEN arm = 'A' THEN value END) AS ma,
+               avg(CASE WHEN arm = 'B' THEN value END) AS mb,
+               var_samp(CASE WHEN arm = 'A' THEN value END) AS va,
+               var_samp(CASE WHEN arm = 'B' THEN value END) AS vb
+        FROM armed GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round(ma - mb, 4) AS diff,
+           round((ma - mb) / sqrt(va / na + vb / nb), 4) AS z_stat
+    FROM s ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample (Welch) z-statistic per event type — the experiment
+    readout: arms assigned deterministically by user-id parity, one
+    conditional-aggregation pass computes both arms' count/mean/
+    variance (never two scans, never a join of arm aggregates), and
+    the z-score is arithmetic over the same doubles in both engines.
+    At 100 TB this is one keyed aggregate with map-side partials —
+    experiment analysis at scan speed."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    arm_b = F.when(F.col("user_id") % 2 != 0, F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.count(arm_a).cast("double").alias("na"),
+        F.count(arm_b).cast("double").alias("nb"),
+        F.avg(arm_a).alias("ma"),
+        F.avg(arm_b).alias("mb"),
+        F.var_samp(arm_a).alias("va"),
+        F.var_samp(arm_b).alias("vb"),
+    )
+    return s.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("diff"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+            4,
+        ).alias("z_stat"),
+    ).orderBy("event_type")

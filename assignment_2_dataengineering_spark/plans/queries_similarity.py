@@ -243,3 +243,40 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force greedy result."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, k=16, iters=3, threshold=0.45).orderBy("id")
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+    SELECT label, CAST(u.dim AS INTEGER) AS dim,
+           round(avg(u.v), 6) AS mean_v,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM (
+        SELECT label,
+               unnest(list_transform(
+                   range(len(embedding)),
+                   i -> struct_pack(dim := i, v := CAST(embedding[i + 1] AS DOUBLE))
+               )) AS u
+        FROM embeddings
+    )
+    GROUP BY label, u.dim
+    """,
+    tags=("similarity", "agg"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the vector
+    aggregation behind prototype classifiers, semantic-dedup seeding,
+    and embedding-drift monitoring. Scalar output shape (label, dim,
+    mean, n): posexplode fans each vector into dim rows BEFORE the
+    shuffle, so the aggregate is an ordinary (label, dim)-keyed
+    hash agg with map-side partials — no collect_list of whole vectors,
+    no single-task reduce. Floats cast to double at the leaf so both
+    engines average identical values; 6dp round on the mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )

@@ -153,3 +153,57 @@ def test_mad_broadcasts_median_table(spark, sf_dir):
     two grouped medians exchange)."""
     plan = _physical(spark, "q_mad", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """q_bm25: df + corpus stats ride broadcast; the top-k cut is
+    TakeOrderedAndProject, never a global Sort; the term filter lands
+    before the tf aggregate (visible as a Filter containing the IN
+    list below the first HashAggregate)."""
+    plan = _physical(spark, "q_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    # no global Sort operator (TakeOrdered subsumes the ordering)
+    assert not re.search(r"\bSort \[", plan.split("TakeOrderedAndProject")[0]), plan
+
+
+def test_outliers_broadcasts_stats_tables(spark, sf_dir):
+    """q_outliers: both the median and MAD tables are 5-row broadcasts —
+    the fact table is never shuffled on a non-key."""
+    plan = _physical(spark, "q_outliers", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_cooccurrence_no_fact_self_join(spark, sf_dir):
+    """q_cooccurrence: pair expansion is in-row (Generate over
+    collect_set output) — the plan has exactly one join chain of
+    broadcasts, no sort-merge self-join of the events scan."""
+    plan = _physical(spark, "q_cooccurrence", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_ohlc_single_exchange_for_windows_and_agg(spark, sf_dir):
+    """q_ohlc: both ranking windows and the bar aggregate share the
+    (event_type, bucket) partitioning — exactly one shuffle Exchange
+    in the plan (AQE reuse aside)."""
+    plan = _physical(spark, "q_ohlc", sf_dir)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_cdc_apply_single_full_outer_join(spark, sf_dir):
+    """q_cdc_apply: one join applies the changelog — the snapshot is
+    scanned once (no anti-join + union double-scan)."""
+    plan = _physical(spark, "q_cdc_apply", sf_dir)
+    joins = re.findall(r"\(\d+\) \w*Join\w*", plan)
+    assert len(joins) == 1, f"{joins}:\n{plan}"
+    assert "FullOuter" in plan, plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """q_vocab_oov: the top-V vocabulary joins the token stream as a
+    broadcast — the corpus-sized side never shuffles for membership."""
+    plan = _physical(spark, "q_vocab_oov", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
