@@ -875,3 +875,60 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_spearman",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               avg(CAST(rn_t AS DOUBLE)) OVER (PARTITION BY event_type, ts) AS r_ts,
+               avg(CAST(rn_v AS DOUBLE)) OVER (PARTITION BY event_type, value) AS r_v
+        FROM (
+            SELECT event_type, ts, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn_t,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn_v
+            FROM events
+        )
+    )
+    SELECT event_type, round(corr(r_ts, r_v), 4) AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event time and value per
+    event type — the monotonic-trend detector (is this metric drifting
+    up over time?) robust to outliers that wreck Pearson. Tied values
+    get average ranks (row_number within key, then avg over the tie
+    group — the textbook fractional rank), then one corr aggregate.
+    All three windows and the final aggregate share the event_type
+    partitioning: one shuffle, ordered passes per key. corr's
+    single-pass covariance accumulators see identical doubles in both
+    engines; 4dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    w_t = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_v = Window.partitionBy("event_type").orderBy("value", "event_id")
+    rn = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.row_number().over(w_t).cast("double").alias("rn_t"),
+        F.row_number().over(w_v).cast("double").alias("rn_v"),
+    )
+    ranked = rn.select(
+        "event_type",
+        F.avg("rn_t").over(Window.partitionBy("event_type", "ts")).alias("r_ts"),
+        F.avg("rn_v").over(Window.partitionBy("event_type", "value")).alias("r_v"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.round(F.corr("r_ts", "r_v"), 4).alias("spearman_rho"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

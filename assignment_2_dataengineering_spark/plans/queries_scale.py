@@ -410,3 +410,63 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member_bloom(probes, merged, ["event_type"], "user_id").orderBy(
         "event_type", "user_id"
     )
+
+
+@register(
+    "q_key_skew",
+    oracle="""
+    WITH k1 AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
+    k2 AS (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey),
+    k3 AS (SELECT count(*) AS n FROM events GROUP BY user_id),
+    s AS (
+        SELECT 'orders.o_custkey' AS join_key, count(*) AS n_keys,
+               sum(n) AS total_rows, max(n) AS max_rows,
+               avg(n) AS avg_rows, quantile_cont(n, 0.95) AS p95_rows
+        FROM k1
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', count(*), sum(n), max(n),
+               avg(n), quantile_cont(n, 0.95) FROM k2
+        UNION ALL
+        SELECT 'events.user_id', count(*), sum(n), max(n),
+               avg(n), quantile_cont(n, 0.95) FROM k3
+    )
+    SELECT join_key, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(max_rows AS BIGINT) AS max_rows,
+           round(avg_rows, 4) AS avg_rows,
+           round(p95_rows, 4) AS p95_rows,
+           round(max_rows / avg_rows, 4) AS skew_ratio
+    FROM s ORDER BY join_key
+    """,
+    tags=("scale", "profile"),
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the diagnostic you run BEFORE picking a
+    join strategy at 100 TB (salted_join's `salt` parameter and AQE's
+    skew-split thresholds are tuned from exactly these numbers): per
+    candidate key, cardinality, hottest-key row count, p95, and the
+    max/avg skew ratio. Each key costs one keyed count aggregate plus
+    a scalar summary — the per-key table never leaves the cluster and
+    the summaries are 1-row unions. Exact interpolated p95 (Spark
+    `percentile` ≡ DuckDB `quantile_cont`)."""
+
+    def summarize(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return per_key.agg(
+            F.lit(label).alias("join_key"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("total_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.round(F.avg("n"), 4).alias("avg_rows"),
+            F.round(F.percentile("n", F.lit(0.95)), 4).alias("p95_rows"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        )
+    parts = [
+        summarize(T(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"),
+        summarize(T(spark, sf_dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"),
+        summarize(T(spark, sf_dir, "events"), "user_id", "events.user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_key")
