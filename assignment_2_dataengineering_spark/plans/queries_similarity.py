@@ -9,7 +9,7 @@ double-casted products left-to-right in list order, as does Spark's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
@@ -279,4 +279,71 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "dim").agg(
         F.round(F.avg("v"), 6).alias("mean_v"),
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT * FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, q.label AS query_label,
+                  c.vec_id AS neg_id, c.label AS neg_label,
+                  {_COS_SQL} AS cos_sim
+           FROM q JOIN c ON c.label <> q.label
+         )
+    SELECT query_id, query_label, neg_id, neg_label,
+           CAST(rank AS INTEGER) AS rank, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neg_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "training"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for each anchor, the most similar vectors
+    carrying a DIFFERENT label (top-3 by exact cosine): the contrastive-
+    training data-prep step (hard negatives are what make embedding
+    fine-tuning work; random negatives are too easy). Same plan family
+    as q_ann_bruteforce — broadcast the small anchor set, scan the
+    corpus once with the label-inequality predicate applied IN the join
+    (never materializing same-label pairs), per-anchor partial top-k.
+    At 100 TB with a large anchor set this upgrades to the LSH/IVF
+    candidate tiers with a post-filter on label — the exact form here
+    is the recall oracle for those."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    from ..functions.vectors import cosine
+
+    a = anchors.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("__cv"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "query_label", "neg_id", "neg_label", "rank", "cos_sim")
     )

@@ -152,3 +152,39 @@ def totals_timeseries(
         .select(F.col("w.start").alias("bucket"), *[f"sum_{m}" for m in measures])
         .orderBy("bucket")
     )
+
+
+def ohlc_window_bars(
+    events: DataFrame,
+    key: str,
+    measure: str,
+    window: str = "15 minutes",
+    watermark: str | None = "60 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming OHLC bars — the incremental form of q_ohlc
+    (plans/queries_temporal.py): per key × tumbling window, open/close
+    via min_by/max_by on event time plus high/low/count, computed as a
+    plain watermarked streaming aggregation (no ranking windows, which
+    streaming disallows — min_by IS the endpoint selection, so the
+    operator runs incrementally with watermark-bounded state; append
+    mode emits each bar once its window passes the watermark, update/
+    complete expose bars as they form).
+    Ties at identical (key, ts) must be removed upstream
+    (dedup_events) for open/close determinism; the e2e test feeds the
+    deduped stream. Batch: identical code, no watermark — which is
+    exactly how the test establishes equivalence."""
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    m = F.col(measure)
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), F.col(key))
+        .agg(
+            F.round(F.min_by(m, F.col(ts_col)), 4).alias("open"),
+            F.round(F.max(m), 4).alias("high"),
+            F.round(F.min(m), 4).alias("low"),
+            F.round(F.max_by(m, F.col(ts_col)), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket"), key, "open", "high", "low", "close", "n")
+    )
