@@ -334,6 +334,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.op IS NULL OR l.op <> 'D'
     """,
     tags=("scale", "merge", "cdc"),
+    bench=True,  # merge/upsert family
 )
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone-aware CDC apply (operators/relational.py

@@ -226,6 +226,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_semantic_dedup",
     oracle=None,  # clustered greedy resolution → rows-only; invariants in tests/test_semantic_dedup.py
     tags=("similarity", "dedup", "udf"),
+    bench=True,  # iterative training + grouped-map family
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-tier semantic deduplication over `embeddings`

@@ -474,6 +474,7 @@ def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY event_type, bucket
     """,
     tags=("temporal", "agg"),
+    bench=True,  # windowed endpoint-selection family
 )
 def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bar downsampling — the canonical time-series compaction
@@ -509,4 +510,60 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("low"),
         F.round(F.min(F.when(F.col("rn_close") == 1, F.col("value"))), 4).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, sum(n) AS total FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           round(t.n / x.total, 4) AS p
+    FROM trans t JOIN totals x USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("temporal", "stats"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types — the
+    behavioral-flow summary behind funnel design and next-action
+    prediction: order each user's events by the total (ts, event_id)
+    order, pair consecutive events with lead(), count and normalize
+    per source state. One shuffle on user_id for the lead window, one
+    tiny keyed aggregate (|types|² rows) after — at 100 TB the
+    per-user ordered pass is the only fact-sized work, and it reuses
+    the partitioning sessionization/funnel analysis already need.
+    Probabilities divide a double count by a double sum both engines
+    compute from exact integers."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
     )
