@@ -349,3 +349,44 @@ def test_weighted_sample_and_cap_properties(spark, rows, k):
     assert {r["doc_id"] for r in capped} <= {i for i, _ in rows}
     capped2 = SP.cap_per_group(df.repartition(7), "g", k=k, id_col="doc_id").collect()
     assert {r["doc_id"] for r in capped2} == {r["doc_id"] for r in capped}
+
+
+@given(
+    snap=st.lists(
+        st.tuples(st.integers(0, 9), st.text("ab", min_size=0, max_size=3)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    chg=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.one_of(st.none(), st.text("ab", min_size=0, max_size=3)),
+            st.sampled_from(["U", "D"]),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_changelog_matches_dict_fold_model(spark, snap, chg):
+    """CDC apply ≡ the sequential dict-fold reference model: replay the
+    changelog in order against {key: value}; upserts assign the row
+    wholesale (None included), deletes pop. The operator must produce
+    exactly the model's end state regardless of partitioning — the
+    'only the trailing change per key matters' collapse is the claim
+    under test."""
+    model = {k: v for k, v in snap}
+    for k, v, op in chg:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    snap_df = spark.createDataFrame(snap, "k long, v string")
+    chg_df = spark.createDataFrame(
+        [(k, v, i, op) for i, (k, v, op) in enumerate(chg)],
+        "k long, v string, seq long, op string",
+    )
+    out = REL.apply_changelog(snap_df, chg_df, keys=["k"], order=["seq"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == model
