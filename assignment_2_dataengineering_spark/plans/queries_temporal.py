@@ -567,3 +567,63 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle="""
+    WITH scored AS (
+        SELECT event_id, user_id, ts, value,
+               count(*) OVER w AS n_base,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, round(value, 4) AS value,
+           CAST(n_base AS BIGINT) AS n_base,
+           round((value - mu) / nullif(sigma, 0.0), 4) AS rolling_z
+    FROM scored
+    WHERE n_base >= 5
+    """,
+    tags=("temporal", "window", "stats"),
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each event scored against the
+    mean/stddev of the SAME user's trailing 3 days, EXCLUDING the
+    current row (frame ends at 1 microsecond preceding — scoring a
+    point against a baseline that contains it dilutes exactly the
+    anomalies you want). Time-based RANGE frame on exact epoch micros
+    (companion to q_interval_window), with a minimum-baseline guard
+    (n ≥ 5) so cold-start rows don't emit garbage z. One shuffle on
+    user_id, one ordered pass; Spark buffers only the trailing frame.
+    This is q_outliers' global gate made temporal — drift-aware."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-259_200_000_000, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    return scored.filter(F.col("n_base") >= 5).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.round(
+            (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 4
+        ).alias("rolling_z"),
+    )
