@@ -444,10 +444,10 @@ def simhash_pairs(
             "complete only for Hamming < blocks; use blocks >= max_hamming + 1"
         )
     # Materialize the packed signature behind an explode(array(x))
-    # Generate barrier: the 9 block-bucket expressions below each
-    # reference `simhash`, and CollapseProject would otherwise inline
-    # the 64-level packing fold into every reference (measured 14 s →
-    # 2.9 s at sf0.1 for the full pair query).
+    # Generate barrier: hamming_pairs64's 9 block-bucket expressions
+    # each reference `simhash`, and CollapseProject would otherwise
+    # inline the 64-level packing fold into every reference (measured
+    # 14 s → 2.9 s at sf0.1 for the full pair query).
     sh = simhash64(df, text_col, id_col, seed).select(
         F.col(id_col), F.explode(F.array("simhash")).alias("simhash")
     )

@@ -627,3 +627,90 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 4
         ).alias("rolling_z"),
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1, min(v.t0) AS t0
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(c.t1) AS t1
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT 'view_to_click' AS step,
+               (epoch_us(t1) - epoch_us(t0)) / 1000000.0 AS lat_s
+        FROM c
+        UNION ALL
+        SELECT 'click_to_purchase',
+               (epoch_us(t2) - epoch_us(t1)) / 1000000.0
+        FROM p
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+           round(max(lat_s), 4) AS max_s
+    FROM lat GROUP BY step ORDER BY step
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per funnel step — q_funnel says
+    HOW MANY convert; this says HOW LONG conversion takes (p50/p90/max
+    seconds between a user's first qualifying stage events), the number
+    an attribution window or a re-engagement trigger is actually tuned
+    from. The stage tables reuse q_funnel's shrinking user-keyed joins;
+    latencies are exact epoch-microsecond differences (int64 in both
+    engines) divided once into seconds, and percentiles are exact
+    interpolated (Spark `percentile` ≡ DuckDB `quantile_cont`). Output
+    is 2 summary rows — everything wide stays cluster-side."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    lat_c = c.select(
+        F.lit("view_to_click").alias("step"),
+        ((F.unix_micros(F.col("t1").cast("timestamp")) - F.unix_micros(F.col("t0").cast("timestamp"))) / 1_000_000.0).alias("lat_s"),
+    )
+    lat_p = p.select(
+        F.lit("click_to_purchase").alias("step"),
+        ((F.unix_micros(F.col("t2").cast("timestamp")) - F.unix_micros(F.col("t1").cast("timestamp"))) / 1_000_000.0).alias("lat_s"),
+    )
+    return (
+        lat_c.unionByName(lat_p)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.percentile("lat_s", F.lit(0.5)), 4).alias("p50_s"),
+            F.round(F.percentile("lat_s", F.lit(0.9)), 4).alias("p90_s"),
+            F.round(F.max("lat_s"), 4).alias("max_s"),
+        )
+        .orderBy("step")
+    )
