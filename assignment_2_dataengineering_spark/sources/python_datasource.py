@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 LANDING_SCHEMA = "batch_index int, url string, status int, body string"
 
@@ -198,3 +204,110 @@ class ReplayStreamDataSource(DataSource):
                 _ReplayStreamReader.__init__(inner, self.options)
 
         return Reader()
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITE path: a JSONL sink with a two-phase commit
+# ---------------------------------------------------------------------------
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.write.format("oe_jsonl").mode(...).save(path) — the write half
+    of the Spark 4 Python DataSource surface (the read half is
+    RestBatchDataSource/ReplayStreamDataSource above). Each task writes
+    its partition to a uniquely-named part file and returns a commit
+    message (file, row count); the DRIVER's commit() then writes the
+    `_MANIFEST.json` naming exactly the committed files. Readers that
+    resolve the manifest first never see output from failed/speculative
+    task attempts — the same task-commit discipline FileOutputCommitter
+    gives JVM sinks, reduced to its essentials. abort() removes
+    part files from failed attempts.
+
+    The payload column contract matches the publisher tier: one
+    `value` string column (to_json upstream), one JSON line per row —
+    i.e. the file format MQTT/Kafka replay fixtures consume."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "oe_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        if [f.name for f in schema.fields] != ["value"]:
+            raise ValueError(
+                "oe_jsonl expects exactly one 'value' string column; "
+                "to_json(struct(...)) upstream produces it"
+            )
+        return _JsonlWriter(self.options, overwrite)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("oe_jsonl requires .option('path', ...) or save(path)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write((row.value or "") + "\n")
+                n += 1
+        return _JsonlCommit(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        ok = [m for m in messages if m is not None]
+        manifest = {
+            "files": sorted(
+                ({"path": m.path, "n_rows": m.n_rows} for m in ok),
+                key=lambda d: d["path"],
+            ),
+            "n_rows": sum(m.n_rows for m in ok),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in (m for m in messages if m is not None):
+            try:
+                os.remove(os.path.join(self.path, m.path))
+            except OSError:
+                pass
+
+
+def read_jsonl_sink(spark, path: str):
+    """Manifest-resolved read-back: only files the commit named."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(path, d["path"]) for d in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], "value string"), manifest
+    return spark.read.schema("value string").text(files).withColumnRenamed(
+        "value", "value"
+    ), manifest

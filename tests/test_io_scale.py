@@ -298,3 +298,46 @@ def test_xml_roundtrip_with_schema(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in dim.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+class TestJsonlSinkDataSource:
+    """Python DataSource WRITE path (sources/python_datasource.py
+    JsonlSinkDataSource): per-task part files + driver-side manifest
+    commit — readers resolving the manifest never see uncommitted
+    output."""
+
+    def test_write_commit_readback(self, spark, tmp_path):
+        from assignment_2_dataengineering_spark.sources.python_datasource import (
+            JsonlSinkDataSource,
+            read_jsonl_sink,
+        )
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        df = (
+            spark.range(0, 97)
+            .selectExpr("to_json(named_struct('id', id, 'sq', id * id)) AS value")
+            .repartition(4)
+        )
+        out = str(tmp_path / "sink")
+        df.write.format("oe_jsonl").mode("append").option("path", out).save()
+        back, manifest = read_jsonl_sink(spark, out)
+        assert manifest["n_rows"] == 97
+        assert sum(f["n_rows"] for f in manifest["files"]) == 97
+        assert len(manifest["files"]) == 4  # one part file per partition
+        got = sorted(r.value for r in back.collect())
+        want = sorted(r.value for r in df.collect())
+        assert got == want
+
+    def test_schema_contract_enforced(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from assignment_2_dataengineering_spark.sources.python_datasource import (
+            JsonlSinkDataSource,
+        )
+
+        spark.dataSource.register(JsonlSinkDataSource)
+        bad = spark.range(3).selectExpr("id", "id * 2 AS other")
+        with _pytest.raises(Exception, match="value"):
+            bad.write.format("oe_jsonl").mode("append").option(
+                "path", str(tmp_path / "bad")
+            ).save()
