@@ -47,6 +47,48 @@ def main() -> None:
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Streaming throughput: ~100k fixture events through the real
+    # ingest pipeline (file stream → parse → route → watermarked
+    # window sums, noop sink, availableNow). The reference's producer
+    # paces 10 events/s (publisher.py:27) — this is the engine-side
+    # number to hold against it. Guarded: a streaming failure must not
+    # take down the batch bench line.
+    stream_eps = None
+    try:
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from fixtures import nem
+
+        from assignment_2_dataengineering_spark.streaming import (
+            ingest,
+            replay,
+            windows,
+        )
+
+        lines = nem.event_stream() * 100
+        src = tempfile.mkdtemp(prefix="bench_stream_")
+        replay.write_replay_chunks(lines, src, events_per_file=50_000)
+        t0 = time.perf_counter()
+        stream = replay.file_replay_stream(spark, src, max_files_per_trigger=100)
+        agg = windows.tumbling_window_sums(
+            ingest.facility_branch(ingest.parse_events(stream)),
+            "facility_id",
+            ["power_mw", "co2_tonnes"],
+            watermark="6 hours",
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_"))
+            .start()
+        )
+        q.awaitTermination(600)
+        stream_eps = round(len(lines) / (time.perf_counter() - t0))
+    except Exception:
+        pass
     # The headline set GROWS round over round as operators land, so the
     # total is not longitudinally comparable. core11_wall is the fixed
     # round-1 query set — the stable cross-round trend line.
@@ -67,6 +109,7 @@ def main() -> None:
                 "core11_wall": round(
                     sum(timings[q] for q in core11 if q in timings), 3
                 ),
+                "stream_eps": stream_eps,
             }
         )
     )
