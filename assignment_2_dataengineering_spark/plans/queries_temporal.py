@@ -714,3 +714,55 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@register(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS revenue
+        FROM events GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT event_type, day, revenue,
+               lag(revenue, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS forecast
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(forecast) AS BIGINT) AS n_scored,
+           round(avg(abs(revenue - forecast) / nullif(abs(revenue), 0.0)), 4)
+               AS mape,
+           round(avg(abs(revenue - forecast)), 4) AS mae
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("temporal", "forecast"),
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting pipeline must beat, and the backtest harness shape
+    (predict day d from day d−7, score MAPE/MAE over the history)
+    that a fancier model plugs into unchanged. The daily aggregate and
+    the lag-7 window share the event_type partitioning — one shuffle;
+    scoring is a second tiny aggregate on the same keys. Revenue is
+    4dp-rounded BEFORE differencing so both engines subtract identical
+    doubles; zero-revenue days drop out of MAPE via nullif."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("forecast", F.lag("revenue", 7).over(w))
+    err = F.abs(F.col("revenue") - F.col("forecast"))
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count("forecast").cast("long").alias("n_scored"),
+            F.round(
+                F.avg(err / F.nullif(F.abs(F.col("revenue")), F.lit(0.0))), 4
+            ).alias("mape"),
+            F.round(F.avg(err), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
