@@ -271,3 +271,27 @@ def apply_changelog(
         )
         .select(*out_cols)
     )
+
+
+def salted_collect_set(
+    df: DataFrame, key: str, col: str, salts: int = 16
+) -> DataFrame:
+    """Skew-tolerant exact distinct-collection — the aggregation-side
+    counterpart to salted_join. A plain groupBy(key).collect_set over a
+    hot key builds one giant array in one reducer task; salting splits
+    the build into `salts` partial sets per key (stage 1, where the
+    heavy lifting parallelizes), then merges the few partial arrays
+    (stage 2, rows = keys × salts, each already deduped within its
+    salt). Sum-like aggregates don't need this (map-side partials
+    handle them); payload-accumulating aggregates (collect_set/list,
+    exact percentile) are where the hot-key reducer becomes THE
+    straggler at 100 TB. Output arrays are sorted — deterministic under
+    any partitioning."""
+    stage1 = df.groupBy(
+        F.col(key), (F.crc32(F.col(col).cast("string")) % salts).alias("__salt")
+    ).agg(F.collect_set(col).alias("__partial"))
+    return stage1.groupBy(key).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("__partial")))).alias(
+            "items"
+        )
+    )

@@ -471,3 +471,37 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("join_key")
+
+
+@register(
+    "q_salted_collect",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           md5(array_to_string(list_sort(list(DISTINCT user_id)), ',')) AS users_hash
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scale", "agg"),
+)
+def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted exact distinct-collection (operators/relational.py
+    salted_collect_set): the 5 event types are genuinely hot keys
+    (~2000 rows each at sf0.01 — at 100 TB, billions), and a plain
+    collect_set funnels each type's whole payload through one reducer;
+    the salted two-stage build parallelizes it across 16 partial sets
+    per key. The oracle is the PLAIN distinct aggregation — the hash
+    match proves salting changes the plan, not the answer (the same
+    discipline as q_salted_join). Output is scalar (count + md5 of the
+    sorted member list) so the driver canonicalizer never sees an
+    array cell."""
+    from ..operators.relational import salted_collect_set
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    sets = salted_collect_set(ev, "event_type", "user_id", salts=16)
+    return sets.select(
+        "event_type",
+        F.size("items").cast("long").alias("n_users"),
+        F.md5(F.concat_ws(",", F.col("items").cast("array<string>"))).alias(
+            "users_hash"
+        ),
+    ).orderBy("event_type")

@@ -655,3 +655,41 @@ def test_streaming_ohlc_bars_match_batch(spark, tmp_path_factory, event_lines):
     for r in want_rows:
         _, _, o, h, lo, c, n = r
         assert lo <= o <= h and lo <= c <= h and n >= 1
+
+
+def test_progress_recorder_accounts_every_input_row(
+    spark, tmp_path_factory, event_lines
+):
+    """streaming/monitor.ProgressRecorder: the listener's per-batch
+    progress must account for EXACTLY the rows fed through the query —
+    the observability contract a production rows/sec panel relies on."""
+    from assignment_2_dataengineering_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = str(tmp_path_factory.mktemp("mon_replay"))
+        n_files = replay.write_replay_chunks(event_lines, src, events_per_file=300)
+        q = (
+            replay.file_replay_stream(spark, src, max_files_per_trigger=1)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_mon")))
+            .start()
+        )
+        q.awaitTermination(180)
+        import time as _time
+
+        qid = str(q.id)
+        # listener delivery is async — poll briefly for the last event
+        for _ in range(60):
+            if rec.summary(qid)["input_rows"] >= len(event_lines):
+                break
+            _time.sleep(0.5)
+        s = rec.summary(qid)
+        assert s["input_rows"] == len(event_lines)
+        assert s["n_batches"] >= n_files  # one file per trigger
+        assert not s["terminated_with_error"]
+        assert s["max_batch_ms"] > 0
+    finally:
+        spark.streams.removeListener(rec)
