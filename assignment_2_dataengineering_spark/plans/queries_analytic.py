@@ -932,3 +932,90 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_user_similarity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS item
+        FROM events WHERE props IS NOT NULL
+    ),
+    sizes AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n FROM items GROUP BY 1),
+    anchors AS (SELECT * FROM items WHERE user_id < 15),
+    inter AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               CAST(count(*) AS DOUBLE) AS n_shared
+        FROM anchors a JOIN items b
+          ON a.item = b.item AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.user_a, i.user_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+               round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.user_a = sa.user_id
+        JOIN sizes sb ON i.user_b = sb.user_id
+    )
+    SELECT user_a, user_b, n_shared, jaccard
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_a
+                                     ORDER BY jaccard DESC, user_b ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "agg"),
+)
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user Jaccard similarity over interacted item sets (items =
+    the `k` property of each event) — the neighborhood computation
+    behind user-based collaborative filtering, top-5 neighbors per
+    anchor user. Plan shape: the inverted item index joins anchors to
+    candidates THROUGH shared items (never a user×user cross join — a
+    user pair with zero shared items is never materialized), set sizes
+    broadcast back, per-anchor top-k by (rounded jaccard, user_b). At
+    100 TB the anchor set bounds the probe side and the df-cap /
+    MinHash tiers (q_dedup_ngram_jaccard, q_dedup_minhash_lsh) are the
+    same machinery applied to user-item sets."""
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    sizes = items.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    anchors = items.filter(F.col("user_id") < 15)
+    inter = (
+        anchors.select(F.col("user_id").alias("user_a"), "item")
+        .join(items.select(F.col("user_id").alias("user_b"), "item"), "item")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("__na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("__nb"))
+    scored = (
+        inter.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(F.col("jaccard").desc(), F.col("user_b").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )

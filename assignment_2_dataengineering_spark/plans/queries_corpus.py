@@ -1186,3 +1186,88 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "q_keyness",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cs AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT token, CAST(count(*) AS DOUBLE) AS c_all FROM toks GROUP BY 1),
+    n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    scored AS (
+        SELECT cs.source, cs.token,
+               CAST(cs.c AS BIGINT) AS n_in_source,
+               round(
+                   ln((cs.c + 1.0) / (ns.n - cs.c + 1.0))
+                 - ln((tot.c_all - cs.c + 1.0)
+                      / (n_all.n - ns.n - (tot.c_all - cs.c) + 1.0)),
+                   4) AS log_odds
+        FROM cs
+        JOIN ns USING (source)
+        JOIN tot USING (token)
+        CROSS JOIN n_all
+    )
+    SELECT source, token, n_in_source, log_odds
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY log_odds DESC, token ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "stats"),
+)
+def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis — the top-3 tokens most DISTINCTIVE of each
+    source versus the rest of the corpus by smoothed log-odds ratio
+    (the corpus-linguistics standard for 'what makes this slice
+    different', and the mixing-audit a pretraining pipeline runs per
+    domain). Two token-keyed aggregates (per-source counts, corpus
+    totals) join on token; per-source totals and the corpus scalar
+    broadcast. The log-odds is one arithmetic expression over exact
+    integer counts cast to double — both engines compute the identical
+    value, so the 4dp round + (score, token) top-k cut is
+    deterministic. At 100 TB everything big is token-keyed; nothing
+    quadratic exists."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+    cs = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c_all"))
+    n_all = toks.agg(F.count(F.lit(1)).cast("double").alias("__n_all"))
+    scored = (
+        cs.join(F.broadcast(ns), "source")
+        .join(tot, "token")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "token",
+            F.col("c").cast("long").alias("n_in_source"),
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("n") - F.col("c") + 1.0))
+                - F.log(
+                    (F.col("c_all") - F.col("c") + 1.0)
+                    / (
+                        F.col("__n_all")
+                        - F.col("n")
+                        - (F.col("c_all") - F.col("c"))
+                        + 1.0
+                    )
+                ),
+                4,
+            ).alias("log_odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
