@@ -1019,3 +1019,109 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, sum(value) AS x
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, user_id) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(x) OVER (PARTITION BY event_type) AS total
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS n_users,
+           round(2.0 * sum(i * x) / (min(n) * min(total))
+                 - (min(n) + 1.0) / min(n), 4) AS gini
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user spend within an event type — the
+    inequality index that answers "is this metric driven by a few whale
+    users?" (the same question the key-skew report asks of join keys,
+    asked of VALUE mass). Exact rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over values sorted with a user_id tiebreak, so the rank
+    assignment — and hence the weighted sum — is identical
+    cross-engine. One shuffle for the per-user rollup; the ranking
+    window and final aggregate reuse the event_type partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wp = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_users"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (F.min("n") * F.min("total"))
+                - (F.min("n") + 1.0) / F.min("n"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS revenue
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, revenue,
+               lag(revenue) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(prev) AS BIGINT) AS n_pairs,
+           round(corr(revenue, prev), 4) AS autocorr_lag1
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("temporal", "stats"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue per event type — the
+    "does yesterday predict today" diagnostic that decides whether
+    q_forecast_backtest's seasonal-naive baseline is even beatable
+    (white noise ⇒ don't bother). The daily aggregate, the lag window,
+    and corr share one event_type partitioning — one shuffle total;
+    corr's single-pass accumulators see the same 4dp-rounded doubles in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev", F.lag("revenue").over(w))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("prev").cast("long").alias("n_pairs"),
+            F.round(F.corr("revenue", "prev"), 4).alias("autocorr_lag1"),
+        )
+        .orderBy("event_type")
+    )
