@@ -182,3 +182,47 @@ def read_xml(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def backfill_missing_days(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+) -> list[str]:
+    """Partition-wise incremental backfill: land ONLY the event dates
+    the sink does not already hold. Listing the sink's `event_date=`
+    directories is driver-side metadata (one filesystem listing — at a
+    lakehouse this is the table's partition catalog); the day filter on
+    the source pushes down to partition/row-group pruning, so a
+    backfill of 3 missing days out of 3 years touches 3 days of input.
+    Written with dynamic partitionOverwriteMode so re-running a
+    backfill replaces exactly the partitions it computes — idempotent,
+    and concurrent-safe per partition. Returns the ISO dates written
+    (empty = sink already current)."""
+    import os
+
+    have = set()
+    if os.path.isdir(path):
+        have = {
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith("event_date=")
+        }
+    days = {
+        r.d.isoformat()
+        for r in source.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()
+    }
+    missing = sorted(days - have)
+    if not missing:
+        return []
+    delta = source.withColumn("event_date", F.to_date(F.col(ts_col))).filter(
+        F.col("event_date").isin(missing)
+    )
+    (
+        delta.write.partitionBy("event_date")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return missing

@@ -341,3 +341,60 @@ class TestJsonlSinkDataSource:
             bad.write.format("oe_jsonl").mode("append").option(
                 "path", str(tmp_path / "bad")
             ).save()
+
+
+class TestBackfillMissingDays:
+    """sources/io.backfill_missing_days — partition-wise incremental
+    backfill: only absent event_date partitions are computed, reruns
+    are no-ops, and existing partitions survive untouched."""
+
+    def _src(self, spark, sf_dir):
+        from assignment_2_dataengineering_spark.sources.tables import load_table
+
+        return load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    def test_initial_then_incremental(self, spark, sf_dir, tmp_path):
+        from assignment_2_dataengineering_spark.sources.io import (
+            backfill_missing_days,
+            read_parquet,
+        )
+        from pyspark.sql import functions as F
+
+        src = self._src(spark, sf_dir)
+        days = sorted(
+            r.d.isoformat()
+            for r in src.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        first_week = src.filter(F.to_date("ts") <= days[6])
+        out = str(tmp_path / "facts")
+        wrote = backfill_missing_days(spark, first_week, out)
+        assert wrote == days[:7]
+        # rerun on the same slice: sink current, nothing written
+        assert backfill_missing_days(spark, first_week, out) == []
+        # full source: only the remaining days land
+        wrote2 = backfill_missing_days(spark, src, out)
+        assert wrote2 == days[7:]
+        back = read_parquet(spark, out)
+        assert back.count() == src.count()
+        # every partition present exactly once
+        assert (
+            back.select("event_date").distinct().count() == len(days)
+        )
+
+    def test_existing_partitions_untouched(self, spark, sf_dir, tmp_path):
+        import os
+
+        from assignment_2_dataengineering_spark.sources.io import backfill_missing_days
+        from pyspark.sql import functions as F
+
+        src = self._src(spark, sf_dir)
+        days = sorted(
+            r.d.isoformat()
+            for r in src.select(F.to_date("ts").alias("d")).distinct().collect()
+        )
+        out = str(tmp_path / "facts")
+        backfill_missing_days(spark, src.filter(F.to_date("ts") == days[0]), out)
+        part = os.path.join(out, f"event_date={days[0]}")
+        before = sorted(os.listdir(part))
+        backfill_missing_days(spark, src, out)  # lands the other days
+        assert sorted(os.listdir(part)) == before  # day-0 files untouched
