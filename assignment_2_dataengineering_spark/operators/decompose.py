@@ -64,3 +64,54 @@ def grouped_pca(
         return pd.DataFrame(rows)
 
     return df.groupBy(group_col).applyInPandas(pca, out_schema)
+
+
+def grouped_pca_arrow(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> DataFrame:
+    """Raw-Arrow twin of grouped_pca via groupBy().applyInArrow —
+    identical semantics (same sort, same sign fixing, same LAPACK), no
+    pandas layer: the kernel receives one pyarrow.Table per group and
+    returns one, so the only conversions are Arrow→numpy views. This is
+    the grouped counterpart of similarity.arrow_cosine_scores'
+    mapInArrow kernel; the equality pin in tests/test_decompose.py
+    proves the pandas and Arrow tiers are interchangeable (pick by
+    overhead, not by semantics)."""
+    import pyarrow as pa
+
+    out_schema = (
+        f"{group_col} int, component int, explained_ratio double, vector array<double>"
+    )
+
+    def pca(table: "pa.Table") -> "pa.Table":
+        ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        vecs = table.column(vec_col).to_pylist()
+        X = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+        group_val = table.column(group_col)[0].as_py()
+        Xc = X - X.mean(axis=0, keepdims=True)
+        _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+        total = float((s**2).sum()) or 1.0
+        comps, ratios, vectors = [], [], []
+        for i in range(min(k, vt.shape[0])):
+            v = vt[i]
+            j = int(np.abs(v).argmax())
+            if v[j] < 0:
+                v = -v
+            comps.append(i)
+            ratios.append(float(s[i] ** 2 / total))
+            vectors.append(v.tolist())
+        return pa.table(
+            {
+                group_col: pa.array([group_val] * len(comps), pa.int32()),
+                "component": pa.array(comps, pa.int32()),
+                "explained_ratio": pa.array(ratios, pa.float64()),
+                "vector": pa.array(vectors, pa.list_(pa.float64())),
+            }
+        )
+
+    return df.groupBy(group_col).applyInArrow(pca, out_schema)

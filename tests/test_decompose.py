@@ -61,3 +61,25 @@ def test_grouped_pca_rank_deficient_group(spark):
     assert math.isclose(top["explained_ratio"], 1.0, rel_tol=1e-9)
     v = np.array(top["vector"])
     assert math.isclose(abs(float(v[0])), 1.0, rel_tol=1e-9)
+
+
+def test_arrow_twin_identical_to_pandas_path(spark, sf_dir):
+    """grouped_pca_arrow (applyInArrow) must produce bit-identical
+    output to grouped_pca (applyInPandas): same sort, same sign fix,
+    same LAPACK — the UDF tiers are interchangeable by construction."""
+    from assignment_2_dataengineering_spark.operators.decompose import (
+        grouped_pca,
+        grouped_pca_arrow,
+    )
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = grouped_pca(emb, "label", "embedding", "vec_id", k=2).collect()
+    b = grouped_pca_arrow(emb, "label", "embedding", "vec_id", k=2).collect()
+    key = lambda r: (r.label, r.component)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra.label, ra.component) == (rb.label, rb.component)
+        assert ra.explained_ratio == rb.explained_ratio  # bit-identical
+        assert ra.vector == rb.vector
