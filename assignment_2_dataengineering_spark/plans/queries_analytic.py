@@ -1125,3 +1125,126 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value,
+               CAST(json_extract(props, '$.k') AS DOUBLE) + 1.0 AS wt
+        FROM events WHERE props IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, value, wt,
+               sum(wt) OVER (PARTITION BY event_type
+                             ORDER BY value, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY event_type) AS total
+        FROM w
+    )
+    SELECT event_type,
+           round(min(value), 4) AS weighted_median,
+           CAST(count(*) AS BIGINT) AS n_at_or_after
+    FROM c WHERE cum >= total / 2.0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the statistic importance-weighted corpora
+    need (each row's weight = its sampling/importance factor; here the
+    `k` prop + 1) and neither engine ships natively, so BOTH implement
+    the same definition: first value whose cumulative weight reaches
+    half the total, over the deterministic (value, weight) order. One
+    event_type partitioning carries the running sum, the group total,
+    and the final aggregate. The ROWS running sum makes every prefix
+    sum left-to-right in the SAME order in both engines — cumulative
+    float drift cannot reorder the crossing point."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("double") + 1.0).alias("wt"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = w.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") >= F.col("total") / 2.0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("weighted_median"),
+            F.count(F.lit(1)).cast("long").alias("n_at_or_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_balance_audit",
+    oracle="""
+    WITH obs AS (
+        SELECT source, lang, CAST(count(*) AS DOUBLE) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    src AS (SELECT source, sum(o) AS n_src FROM obs GROUP BY 1),
+    lg AS (SELECT lang, sum(o) AS n_lang FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+        SELECT obs.source, obs.lang, obs.o,
+               src.n_src * lg.n_lang / tot.n AS e
+        FROM obs JOIN src USING (source) JOIN lg USING (lang) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(sum(o) AS BIGINT) AS n_docs,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2_vs_corpus_langs
+    FROM cells GROUP BY source ORDER BY source
+    """,
+    tags=("text", "stats"),
+)
+def q_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit: per source, the chi-square statistic of its
+    language distribution against the corpus-wide language mix — the
+    imbalance detector a mixture-weighted pretraining pipeline runs
+    before trusting per-source sampling rates (big chi2 = this source's
+    language profile diverges from the corpus). One (source, lang)
+    contingency aggregate; marginals broadcast back; the statistic is
+    one arithmetic pass over ≤ |sources|×|langs| cells — nothing here
+    scales with rows after the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    src = obs.groupBy("source").agg(F.sum("o").alias("n_src"))
+    lg = obs.groupBy("lang").agg(F.sum("o").alias("n_lang"))
+    tot = obs.agg(F.sum("o").alias("__n"))
+    cells = (
+        obs.join(F.broadcast(src), "source")
+        .join(F.broadcast(lg), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "o",
+            (F.col("n_src") * F.col("n_lang") / F.col("__n")).alias("e"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("o").cast("long").alias("n_docs"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2_vs_corpus_langs"),
+        )
+        .orderBy("source")
+    )
