@@ -1248,3 +1248,129 @@ def q_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(floor((epoch_us(a.mx) - epoch_us(max(ts))) / 86400000000.0)
+                    AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END), 4) AS monetary
+        FROM events CROSS JOIN anchor a
+        GROUP BY user_id, a.mx
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_quartile
+    FROM base
+    """,
+    tags=("agg", "analytics"),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (whole days since the
+    user's last event, anchored to the dataset's max event time, the
+    same anchor discipline as the reference's 60-min horizon),
+    frequency, and purchase monetary value, each cut into quartiles.
+    One grouped aggregate per user; the three ntile windows rank the
+    (small) per-user summary, each over a TOTAL order (metric +
+    user_id) so quartile boundaries are deterministic cross-engine.
+    The global ntile sorts |users| summary rows, not events — at
+    100 TB that summary is the table you'd persist anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("__mx"))
+    base = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.unix_micros(F.max("__mx").cast("timestamp"))
+                    - F.unix_micros(F.max("ts").cast("timestamp"))
+                )
+                / 86_400_000_000.0
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                4,
+            ).alias("monetary"),
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("int")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "q_zipf",
+    oracle="""
+    WITH freq AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS DOUBLE) AS r
+        FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2
+    FROM ranked
+    """,
+    tags=("text", "stats"),
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: regression
+    slope of log-frequency on log-rank (natural text ≈ −1; synthetic
+    or templated corpora deviate — this is a one-number corpus
+    naturalness probe next to q_char_entropy's per-doc one). One
+    token-count aggregate, one global ranking of the (vocabulary-sized)
+    frequency table with a token tiebreak, then the single-pass
+    regression aggregates. The ranked vocabulary is |types| rows —
+    tiny next to the corpus — so the global window is safe."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .cast("double")
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("r2"),
+    )
