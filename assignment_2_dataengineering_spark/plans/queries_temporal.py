@@ -766,3 +766,108 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+               lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week,
+               min(week) OVER (PARTITION BY user_id) AS first_week
+        FROM uw
+    ),
+    states AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 'new'
+                    WHEN prev_week = week - 7 THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM flagged
+    ),
+    churn AS (
+        SELECT week + 7 AS week, count(*) AS n_churned
+        FROM flagged
+        WHERE next_week IS NULL OR next_week <> week + 7
+        GROUP BY 1
+    ),
+    weekly AS (
+        SELECT week,
+               CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM states GROUP BY week
+    )
+    SELECT w.week, w.n_new, w.n_retained, w.n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM weekly w LEFT JOIN churn c USING (week)
+    ORDER BY w.week
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned decomposition (the 'quick ratio' inputs) every growth team
+    reports, and the stricter sibling of q_cohort_retention: a user is
+    NEW in their first active week, RETAINED if active the immediately
+    previous week, RESURRECTED otherwise; users who fail to return the
+    following week count as CHURNED in that week. One shuffle on
+    user_id carries the lag/lead/min windows; the weekly rollups and
+    the churn attribution join are week-keyed and tiny. Calendar math
+    is exact DATE arithmetic on ISO Monday weeks — no float, no tz
+    ambiguity under the pinned UTC session."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("week")
+    wp = Window.partitionBy("user_id")
+    flagged = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(wu).alias("prev_week"),
+        F.lead("week").over(wu).alias("next_week"),
+        F.min("week").over(wp).alias("first_week"),
+    )
+    states = flagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("prev_week") == F.date_sub("week", 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    weekly = states.groupBy("week").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        flagged.filter(
+            F.col("next_week").isNull()
+            | (F.col("next_week") != F.date_add("week", 7))
+        )
+        .select(F.date_add("week", 7).alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        weekly.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
