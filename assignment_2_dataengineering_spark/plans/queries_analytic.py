@@ -1374,3 +1374,89 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("r2"),
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH ref AS (SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+    cur AS (SELECT event_type, value FROM events WHERE event_id % 2 = 1),
+    bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM ref GROUP BY event_type
+    ),
+    rb AS (
+        SELECT r.event_type,
+               CASE WHEN r.value <= b.q1 THEN 0 WHEN r.value <= b.q2 THEN 1
+                    WHEN r.value <= b.q3 THEN 2 ELSE 3 END AS bin,
+               CAST(count(*) OVER (PARTITION BY r.event_type) AS DOUBLE) AS n
+        FROM ref r JOIN bounds b USING (event_type)
+    ),
+    cb AS (
+        SELECT c.event_type,
+               CASE WHEN c.value <= b.q1 THEN 0 WHEN c.value <= b.q2 THEN 1
+                    WHEN c.value <= b.q3 THEN 2 ELSE 3 END AS bin,
+               CAST(count(*) OVER (PARTITION BY c.event_type) AS DOUBLE) AS n
+        FROM cur c JOIN bounds b USING (event_type)
+    ),
+    p AS (SELECT event_type, bin, count(*) / min(n) AS p FROM rb GROUP BY event_type, bin),
+    q AS (SELECT event_type, bin, count(*) / min(n) AS q FROM cb GROUP BY event_type, bin)
+    SELECT p.event_type,
+           round(sum((p.p - q.q) * ln(p.p / q.q)), 4) AS psi
+    FROM p JOIN q USING (event_type, bin)
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    tags=("agg", "stats", "drift"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production drift metric for a
+    scored feature: quartile bins fixed on a reference slice (even
+    event ids), both slices' bin shares compared via Σ(p−q)·ln(p/q)
+    (PSI < 0.1 stable, > 0.25 drifted). Exact interpolated quartiles on
+    the reference define the bins, so boundary membership is
+    deterministic on identical doubles; shares divide exact counts.
+    Two scans + per-type broadcast bounds; the PSI fold runs over
+    |types|×4 cells. The synthetic even/odd split should show ≈0 drift
+    — the value of the query is the machinery being exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    bounds = ref.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    def binned(df):
+        b = (
+            F.when(F.col("value") <= F.col("q1"), 0)
+            .when(F.col("value") <= F.col("q2"), 1)
+            .when(F.col("value") <= F.col("q3"), 2)
+            .otherwise(3)
+        )
+        withb = df.join(F.broadcast(bounds), "event_type").select(
+            "event_type", b.alias("bin")
+        )
+        tot = withb.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        return (
+            withb.groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .join(F.broadcast(tot), "event_type")
+            .select("event_type", "bin", (F.col("c") / F.col("n")).alias("share"))
+        )
+    p = binned(ref).withColumnRenamed("share", "p")
+    q = binned(cur).withColumnRenamed("share", "q")
+    return (
+        p.join(q, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4
+            ).alias("psi")
+        )
+        .orderBy("event_type")
+    )

@@ -871,3 +871,45 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "q_user_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys — the path-analysis view behind
+    funnel DISCOVERY (q_funnel checks a hypothesized path; this ranks
+    the paths users actually take). Two leads over the same per-user
+    total order produce each consecutive event triple with no
+    self-joins — the window shuffle on user_id is the only fact-sized
+    exchange, and the path table collapses to ≤ |types|³ rows before
+    the TakeOrdered top-10 cut (count, then path lexicographic —
+    a total order, so the cut is deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(10)
+    )
