@@ -113,3 +113,19 @@ def current_snapshot(spark, table_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no published snapshot under {table_dir}")
     df = spark.read.parquet(os.path.join(table_dir, meta["version"]))
     return df.filter(~F.col("__deleted")).drop("__deleted")
+
+
+def snapshot_at(spark, table_dir: str, batch_id: int) -> DataFrame:
+    """Time travel: the post-image AS OF a given batch — every batch
+    publishes an immutable `data_v{batch}` directory and the pointer
+    only ever moves forward, so historical versions remain readable
+    until a retention job removes them (the lakehouse time-travel
+    contract, at one-pointer scale). Raises FileNotFoundError for a
+    version that never committed."""
+    import os
+
+    p = os.path.join(table_dir, f"data_v{batch_id}")
+    if not os.path.isdir(p):
+        raise FileNotFoundError(f"no committed version data_v{batch_id} under {table_dir}")
+    df = spark.read.parquet(p)
+    return df.filter(~F.col("__deleted")).drop("__deleted")

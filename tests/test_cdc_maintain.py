@@ -116,3 +116,20 @@ def test_streaming_end_to_end_with_foreachbatch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert _snap(spark, table) == _one_shot(spark, CHANGES)
+
+
+def test_time_travel_reads_historical_post_images(spark, tmp_path):
+    """snapshot_at: each committed batch's post-image stays readable —
+    version directories are immutable once the pointer moves on."""
+    from assignment_2_dataengineering_spark.streaming.cdc_maintain import snapshot_at
+
+    batches = [CHANGES[:3], CHANGES[3:6], CHANGES[6:]]
+    _run_batches(spark, tmp_path, batches)
+    for i in range(3):
+        flat = [c for b in batches[: i + 1] for c in b]
+        got = {r.k: r.v for r in snapshot_at(spark, str(tmp_path), i).select("k", "v").collect()}
+        assert got == _one_shot(spark, flat), f"batch {i}"
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshot_at(spark, str(tmp_path), 99)
