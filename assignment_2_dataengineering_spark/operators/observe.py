@@ -40,3 +40,25 @@ def with_quality_observation(
         metrics.append(col.alias(name))
     obs = Observation()
     return df.observe(obs, *metrics), obs
+
+
+def kanonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity violations over a set of quasi-identifier columns:
+    every equivalence class (distinct quasi-identifier combination)
+    whose population is below k re-identifies its members.
+
+    Returns (quasi_cols..., class_size) for violating classes only —
+    the release-blocker list a privacy review wants, not the full class
+    histogram. One hash aggregate on the quasi-identifier tuple; the
+    violating classes are by definition the SMALL groups, so the output
+    stays tiny even when the input is 100 TB (the common classes that
+    dominate the data are exactly the ones filtered out)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

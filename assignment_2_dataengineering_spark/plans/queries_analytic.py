@@ -1460,3 +1460,35 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_kanonymity",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(user_id // 10 AS BIGINT) AS user_cohort,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+    tags=("governance",),
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, event day, user cohort-of-10): every equivalence class
+    small enough to re-identify its members. One hash aggregate; the
+    output is only the SMALL classes, so it stays tiny at any input
+    scale (operators.observe.kanonymity_audit)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.observe import kanonymity_audit
+
+    return kanonymity_audit(
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("user_id") / 10).alias("user_cohort"),
+        ),
+        ["event_type", "day", "user_cohort"],
+        k=5,
+    )

@@ -153,3 +153,43 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_pairs(_media(spark, sf_dir), max_hamming=6).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "q_audio_vad",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(list_sum(list_transform(range(0, 8),
+                    j -> pow(unicode(substr(text, frame_idx * 8 + j + 1, 1)) - 64, 2)))
+                  AS BIGINT) AS sq_sum
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, length(text) // 8)) AS frame_idx
+            FROM documents)
+    ),
+    voiced AS (SELECT * FROM frames WHERE sq_sum >= 14400),
+    isl AS (SELECT doc_id, frame_idx, sq_sum,
+                   frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_idx) AS grp
+            FROM voiced)
+    SELECT doc_id,
+           CAST(min(frame_idx) AS INT) AS seg_start,
+           CAST(max(frame_idx) AS INT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(sq_sum) AS BIGINT) AS total_sq
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("multimodal", "audio"),
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over PCM-u8 audio payloads:
+    numpy frame-energy kernel (mapInPandas, Arrow batches) → JVM
+    gaps-and-islands segment merge. The payload derivation is the same
+    deterministic text-bytes scheme as the other media queries, so the
+    oracle recomputes every frame energy from codepoints; the Spark side
+    is the real audio plumbing (binary column → vectorized numpy →
+    windowed segmentation). Threshold 14400 = mean-square 1800 over
+    8-sample frames — letters score voiced, space-heavy frames don't."""
+    m = _media(spark, sf_dir)
+    frames = MM.pcm_energy_frames(m, frame_samples=8, center=64)
+    return MM.vad_segments(frames, threshold_sq=14_400)

@@ -332,3 +332,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Completeness vs brute-force pairwise Hamming is pinned in
     tests/test_dedup.py."""
     return DD.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b, shared,
+           round(shared * 1.0 / least(x.n, y.n), 4) AS containment
+    FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+    WHERE round(shared * 1.0 / least(x.n, y.n), 4) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (|A∩B| / min set size ≥ 0.5):
+    catches short-document-quoted-in-long-document duplication that
+    symmetric Jaccard structurally under-scores. Same inverted-index
+    plan as q_dedup_ngram_jaccard — one extra `least` in the projection,
+    zero extra shuffles."""
+    return DD.containment_pairs(T(spark, sf_dir, "documents"), threshold=0.5)

@@ -285,3 +285,45 @@ class TestSpanDedup:
             for r in DD.span_dedup(self._docs(spark).repartition(7), n=10).collect()
         }
         assert base == shuffled
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs: the asymmetric quote/subset detector
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 2 = the first 6 words of doc 1 (4 shingles, all shared);
+    # doc 1 has 18 shingles → jaccard = 4/18 ≈ 0.22 but containment = 1.0
+    long_text = " ".join(f"w{i}" for i in range(20))
+    short_text = " ".join(f"w{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in DD.containment_pairs(df, threshold=0.5).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    assert (1, 2) not in jac  # symmetric jaccard structurally misses it
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_bounded_below_by_jaccard(spark, sf_dir):
+    # containment >= jaccard always (min(|A|,|B|) <= |A|+|B|-shared), so
+    # every jaccard pair at t appears in containment pairs at t
+    docs = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    cont = {
+        (r.id_a, r.id_b)
+        for r in DD.containment_pairs(docs, threshold=0.4).collect()
+    }
+    assert jac <= cont

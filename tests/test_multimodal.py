@@ -156,3 +156,35 @@ def test_phash_bucket_cap_subset_and_deterministic(media):
     capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
     assert capped <= full
     assert capped == {(r.id_a, r.id_b) for r in capped_df.collect()}
+
+
+def test_pcm_energy_frames_matches_numpy_reference(spark):
+    import numpy as np
+
+    payloads = [(1, b"aaaaaaaabbbbbbbbcc"), (2, b"  " * 4), (3, b"short")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx): r.sq_sum
+        for r in MM.pcm_energy_frames(df, frame_samples=8, center=64).collect()
+    }
+    want = {}
+    for did, p in payloads:
+        a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        for f in range(a.size // 8):
+            want[(did, f)] = int((((a[f * 8 : f * 8 + 8]) - 64) ** 2).sum())
+    # doc 3 is shorter than one frame -> contributes nothing (partial dropped)
+    assert got == want and not any(d == 3 for d, _ in got)
+
+
+def test_vad_segments_gaps_and_islands(spark):
+    # frames: doc 1 voiced at 0,1,2, silent 3, voiced 5 -> segments [0..2], [5..5]
+    rows = [
+        (1, 0, 20000), (1, 1, 15000), (1, 2, 14400), (1, 3, 100), (1, 5, 99999),
+        (2, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx int, sq_sum long")
+    segs = {
+        (r.doc_id, r.seg_start, r.seg_end): (r.n_frames, r.total_sq)
+        for r in MM.vad_segments(df, threshold_sq=14_400).collect()
+    }
+    assert segs == {(1, 0, 2): (3, 49400), (1, 5, 5): (1, 99999)}

@@ -51,3 +51,18 @@ def test_observation_on_real_table_pipeline(spark, sf_dir):
     assert got["n_rows"] == want["n"]
     assert got["null_ts"] == want["null_ts"]
     assert got["neg_value"] == want["neg_value"]
+
+
+def test_kanonymity_audit_flags_exactly_the_small_classes(spark):
+    from assignment_2_dataengineering_spark.operators.observe import kanonymity_audit
+
+    rows = [("a", "x")] * 7 + [("a", "y")] * 3 + [("b", "x")] * 1 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    out = {(r.q1, r.q2): r.class_size for r in kanonymity_audit(df, ["q1", "q2"], k=5).collect()}
+    assert out == {("a", "y"): 3, ("b", "x"): 1}
+    # suppressing the flagged classes leaves a k-anonymous release
+    survivors = df.join(
+        kanonymity_audit(df, ["q1", "q2"], k=5), ["q1", "q2"], "left_anti"
+    )
+    sizes = [r.n for r in survivors.groupBy("q1", "q2").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sizes and all(s >= 5 for s in sizes)
