@@ -19,13 +19,8 @@ relative at the default scale) is the documented price of exactness.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _div(a: Column, b: Column) -> Column:
-    """Long floor division (non-negative operands) as Catalyst `DIV`."""
-    return F.expr(f"({a._jc.toString()}) DIV ({b._jc.toString()})") if False else a.cast("long").__div__(b)  # pragma: no cover
 
 
 def pagerank(

@@ -1,0 +1,62 @@
+"""Graph queries (operators.graph): iterative link analysis expressed
+as Pregel-style DataFrame supersteps. Engine-added — the reference has
+no graph surface; a training-data platform needs link analysis for
+source-authority weighting and crawl prioritization.
+
+The oracle for the fixed-iteration scaled-integer PageRank is GENERATED
+(operators.graph.pagerank_oracle_sql unrolls the supersteps into plain
+CTEs), so the SQL is provably the same arithmetic the Spark plan runs —
+DIV for DIV — and the comparison is hash-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank, pagerank_oracle_sql
+from ..sources.tables import load_table
+from .registry import register
+
+# Interaction graph: within each event_type's global timeline, an edge
+# connects the acting user to the next acting user (distinct pairs,
+# self-loops dropped) — "who acts after whom" influence structure.
+_EDGES_CTE = """edges AS (
+    SELECT DISTINCT user_id AS src, next_user AS dst
+    FROM (
+        SELECT user_id,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS next_user
+        FROM events
+    )
+    WHERE next_user IS NOT NULL AND next_user <> user_id
+)"""
+
+
+def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle=pagerank_oracle_sql(_EDGES_CTE, iterations=5),
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-superstep PageRank over the user follow-on interaction
+    graph. Scaled-integer ranks (parts-per-10^12 longs) make the
+    iterative result bit-identical across engines and partitionings —
+    the oracle is the same superstep arithmetic unrolled to SQL. Each
+    superstep is one edges⋈ranks shuffle + one inflow aggregate;
+    dangling mass and |V| ride 1-row broadcast cross-joins, so nothing
+    routes through the driver at any scale."""
+    return pagerank(_user_edges(spark, sf_dir), iterations=5)

@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     from . import queries_scale  # noqa: F401
     from . import queries_tpch  # noqa: F401
     from . import queries_match  # noqa: F401
+    from . import queries_graph  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,62 @@
+"""PageRank invariants: scaled-integer determinism, mass conservation,
+symmetry, dangling-node redistribution, and the Spark↔generated-SQL
+oracle twin agreeing bit-for-bit on a hand graph."""
+
+from __future__ import annotations
+
+import duckdb
+
+from assignment_2_dataengineering_spark.operators.graph import (
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+SCALE = 10**12
+
+
+def _ranks(spark, edges, iterations=5):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank_scaled for r in pagerank(df, iterations=iterations).collect()}
+
+
+def test_cycle_graph_is_uniform(spark):
+    # a -> b -> c -> a: perfect symmetry, every node keeps 1/3 of the mass
+    got = _ranks(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert len(set(got.values())) == 1
+    assert abs(sum(got.values()) - SCALE) <= 100  # floor-loss only
+
+
+def test_sink_attracts_mass_and_dangling_redistributes(spark):
+    # star into a dangling sink: sink outranks the spokes, and the
+    # dangling mass comes back so total mass stays ~SCALE
+    got = _ranks(spark, [("a", "z"), ("b", "z"), ("c", "z")])
+    assert got["z"] > got["a"] == got["b"] == got["c"]
+    assert abs(sum(got.values()) - SCALE) <= 100
+
+
+def test_mass_conserved_within_floor_loss(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("d", "b")]
+    got = _ranks(spark, edges)
+    loss = SCALE - sum(got.values())
+    # each DIV loses < 1 unit per operand pair; bound: iterations * (|E|+|V|+2)
+    assert 0 <= loss <= 5 * (len(edges) + 4 + 2) * 2
+
+
+def test_spark_matches_generated_oracle_bit_for_bit(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    got = _ranks(spark, edges, iterations=4)
+    vals = ",".join(f"('{s}','{d}')" for s, d in edges)
+    sql = pagerank_oracle_sql(
+        f"edges AS (SELECT * FROM (VALUES {vals}) t(src, dst))", iterations=4
+    )
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_deterministic_across_partitionings(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df7 = spark.createDataFrame(edges, "src string, dst string").repartition(7)
+    r1 = {r.node: r.rank_scaled for r in pagerank(df1, iterations=3).collect()}
+    r7 = {r.node: r.rank_scaled for r in pagerank(df7, iterations=3).collect()}
+    assert r1 == r7
