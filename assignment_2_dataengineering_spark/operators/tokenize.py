@@ -1,0 +1,161 @@
+"""Distributed BPE merge learning — vocabulary induction as iterative
+DataFrame aggregation.
+
+Classic byte-pair-encoding training (Sennrich et al. 2016) operates on
+the WORD-FREQUENCY table, not the corpus: after the one corpus-sized
+word count, every iteration touches only |vocab| rows. That is exactly
+the shape that survives 100 TB — the fact-sized work happens once, and
+the merge loop runs over a table bounded by distinct-word count no
+matter how big the input was.
+
+The representation trick that keeps every step declarative (and
+oracle-able): a word's symbol sequence is a string with TWO-SPACE
+separators and two-space padding ('  l  o  w  </w>  '). Merging the
+best pair (a, b) is replace(seq, ' a  b ', ' ab ') — the pattern
+consumes ONE space from each boundary gap and the replacement restores
+it, so the two-space invariant survives and consecutive occurrences
+('ab ab ab') each retain a full boundary for the scanner to match.
+Both Spark's UTF8String.replace and ANSI SQL replace() scan
+left-to-right non-overlapping, which IS the greedy BPE merge order
+('a a a' merges to 'aa a', not 'a aa'); a single-space encoding would
+instead swallow the shared boundary and skip every second occurrence —
+pinned by tests/test_tokenize.py::test_matches_pure_python_reference's
+overlap cases. No UDF, no fold; the per-iteration argmax pair rides a
+1-row broadcast cross-join, so nothing routes through the driver at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over whitespace tokens — the one corpus-sized pass."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_seq(word: F.Column) -> F.Column:
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    return F.concat(
+        F.lit("  "), F.concat_ws("  ", chars), F.lit("  " + EOW + "  ")
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str = "text", num_merges: int = 6
+) -> DataFrame:
+    """Learn `num_merges` BPE merges; returns (merge_rank, pair,
+    pair_count, merged) ordered by rank. Ties on pair count break
+    lexicographically on the pair string, so the result is unique and
+    engine-independent. Per iteration: one pair-count aggregate over the
+    vocab table (shuffle bounded by |vocab|), one top-1 on the tiny
+    pair-count table, one broadcast cross-join + replace to rewrite the
+    sequences. Vocab snapshots persist per iteration to keep lineage
+    flat (at cluster scale: checkpoint)."""
+    wc = word_counts(df, text_col).select(
+        _initial_seq(F.col("word")).alias("seq"), "cnt"
+    )
+    merges = []
+    for rank in range(num_merges):
+        wc = wc.persist()
+        pairs = wc.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(seq), '  ')) - 1),"
+                    " i -> concat(element_at(split(trim(seq), '  '), i), ' ',"
+                    " element_at(split(trim(seq), '  '), i + 1)))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                "pair",
+                "pair_count",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            )
+        )
+        merges.append(best)
+        wc = wc.crossJoin(F.broadcast(best.select("pair", "merged"))).select(
+            F.replace(
+                F.col("seq"),
+                # ' a  b ': one boundary space each side, two between
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                    F.lit(" "),
+                ),
+                F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+            ).alias("seq"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_oracle_sql(
+    source_sql: str = "SELECT text FROM documents", num_merges: int = 6
+) -> str:
+    """Iteration-unrolled DuckDB twin of learn_bpe_merges: the same
+    word count, spaced-sequence representation, pair aggregate, lexical
+    tie-break, and replace() rewrite, as plain chained CTEs."""
+    parts = [
+        f"""WITH wcnt AS (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM ({source_sql})
+            ) WHERE length(word) > 0 GROUP BY 1
+        ),
+        w0 AS (
+            SELECT '  ' || array_to_string(list_transform(range(1, length(word) + 1),
+                       i -> substr(word, i, 1)), '  ') || '  {EOW}  ' AS seq,
+                   cnt
+            FROM wcnt
+        ),"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS (
+                SELECT unnest(list_transform(range(1, len(string_split(trim(seq), '  '))),
+                           i -> string_split(trim(seq), '  ')[i] || ' ' ||
+                                string_split(trim(seq), '  ')[i + 1])) AS pair,
+                       cnt
+                FROM w{r}
+            ),
+            b{r} AS (
+                SELECT {r} AS merge_rank, pair,
+                       CAST(sum(cnt) AS BIGINT) AS pair_count,
+                       replace(pair, ' ', '') AS merged
+                FROM p{r} GROUP BY pair
+                ORDER BY pair_count DESC, pair ASC LIMIT 1
+            ),
+            w{r + 1} AS (
+                SELECT replace(seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                               ' ' || b.merged || ' ') AS seq,
+                       cnt
+                FROM w{r}, b{r} b
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, pair, pair_count, merged FROM b{r}"
+        for r in range(num_merges)
+    )
+    parts.append(union)
+    return "\n".join(parts)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators import dedup as DD
+from ..operators.tokenize import bpe_oracle_sql, learn_bpe_merges
 from ..sources.tables import load_table
 from .registry import register
 
@@ -360,3 +361,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan as q_dedup_ngram_jaccard — one extra `least` in the projection,
     zero extra shuffles."""
     return DD.containment_pairs(T(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "q_bpe_merges",
+    oracle=bpe_oracle_sql("SELECT text FROM documents", num_merges=6),
+    tags=("tokenize", "iterative"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six BPE merges learned from the documents corpus
+    (operators.tokenize.learn_bpe_merges): word-frequency table once
+    (the only corpus-sized pass), then vocab-bounded pair aggregates
+    with a deterministic lexical tie-break and declarative replace()
+    merges. The oracle is the same algorithm unrolled to chained CTEs —
+    iterative vocabulary induction, hash-exact across engines."""
+    return learn_bpe_merges(T(spark, sf_dir, "documents"), num_merges=6)

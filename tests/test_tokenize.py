@@ -1,0 +1,78 @@
+"""BPE merge learning vs an independent pure-Python reference
+implementation of the classic algorithm (word-frequency dict, pair
+counting, greedy left-to-right merge), plus determinism and
+representation invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from assignment_2_dataengineering_spark.operators.tokenize import (
+    EOW,
+    learn_bpe_merges,
+)
+
+
+def _reference_bpe(texts: list[str], num_merges: int) -> list[tuple[int, str, int, str]]:
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(list(w) + [EOW]): c for w, c in words.items()}
+    out = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        # max count, lexicographically smallest 'a b' pair string on ties
+        best = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), n = best
+        out.append((rank, f"{a} {b}", n, a + b))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
+        vocab = new_vocab
+    return out
+
+
+def test_matches_pure_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat and the bat",
+        "low lower lowest slow slower",
+        "aaa aaaa aa a",  # overlap stress: greedy left-scan order matters
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.pair, r.pair_count, r.merged)
+        for r in learn_bpe_merges(df, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == _reference_bpe(texts, 8)
+
+
+def test_deterministic_across_partitionings(spark):
+    texts = [("alpha beta gamma alpha beta",), ("beta gamma delta",)]
+    a = spark.createDataFrame(texts, "text string").repartition(1)
+    b = spark.createDataFrame(texts, "text string").repartition(5)
+    ra = [tuple(r) for r in learn_bpe_merges(a, num_merges=4).orderBy("merge_rank").collect()]
+    rb = [tuple(r) for r in learn_bpe_merges(b, num_merges=4).orderBy("merge_rank").collect()]
+    assert ra == rb
+
+
+def test_merged_symbol_feeds_later_merges(spark):
+    # after 'a b'→'ab' is learned, a later merge may combine 'ab' with
+    # another symbol — the hierarchy property that makes BPE subword units
+    df = spark.createDataFrame([("abab abab abab",)], "text string")
+    rows = learn_bpe_merges(df, num_merges=3).orderBy("merge_rank").collect()
+    # both 'a b' occurrences in each word merge in round 0 (count 6 = 2×3)
+    assert rows[0].pair == "a b" and rows[0].pair_count == 6
+    # ties at count 3 break lexically: '<' < 'a', so 'ab </w>' precedes 'ab ab'
+    assert rows[1].pair == "ab </w>"
+    # round 2 merges two MERGED symbols — the hierarchy property
+    assert rows[2].pair == "ab ab</w>" and rows[2].merged == "abab</w>"
