@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.linkage import fellegi_sunter_oracle_sql, fellegi_sunter_pairs
 from ..sources.tables import load_table
 from .registry import register
 
@@ -219,4 +220,34 @@ def q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__n").alias("n_parts"),
         )
         .orderBy("entity")
+    )
+
+
+@register(
+    "q_prob_linkage",
+    oracle=fellegi_sunter_oracle_sql(
+        "SELECT doc_id, lang, source, n_chars // 50 AS len_bucket FROM documents",
+        "doc_id",
+        "lang",
+        ["source", "len_bucket"],
+        threshold=5.0,
+    ),
+    tags=("match", "linkage"),
+)
+def q_prob_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage over documents: block on
+    lang, compare (source, 50-char length bucket), score with the
+    likelihood ratio m/u vs (1-m)/(1-u) where u is estimated from the
+    data's value frequencies (operators/linkage.py — rationale for the
+    ratio-not-log choice and the broadcast u-estimation there). Pairs
+    scoring ≥ 5 are link candidates: both fields agree AND at least one
+    agreeing value is rare enough to be evidential."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 50).alias("len_bucket"),
+    )
+    return fellegi_sunter_pairs(
+        docs, "doc_id", "lang", ["source", "len_bucket"], threshold=5.0
     )

@@ -1,0 +1,57 @@
+"""Fellegi–Sunter linkage invariants: agreement on a RARE value must
+outscore agreement on a COMMON value (the u-probability doing its job),
+disagreement must penalize below 1, and blocking must bound the
+candidate set."""
+
+from __future__ import annotations
+
+from assignment_2_dataengineering_spark.operators.linkage import fellegi_sunter_pairs
+
+
+def _df(spark):
+    # blk X: ids 1..4 share segment 'common' (3x) / 'rare' pair (5,6)
+    rows = [
+        (1, "X", "common"),
+        (2, "X", "common"),
+        (3, "X", "common"),
+        (5, "X", "rare"),
+        (6, "X", "rare"),
+        (7, "Y", "common"),
+        (8, "Y", "other"),
+    ]
+    return spark.createDataFrame(rows, "id long, blk string, seg string")
+
+
+def test_rare_agreement_outscores_common_agreement(spark):
+    out = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_pairs(
+            _df(spark), "id", "blk", ["seg"], threshold=0.0
+        ).collect()
+    }
+    assert out[(5, 6)] > out[(1, 2)] > 1.0  # both agree; rare is stronger
+    assert out[(7, 8)] < 1.0  # disagreement penalizes
+    assert (1, 7) not in out  # different block: never a candidate
+
+
+def test_agree_flags_and_threshold(spark):
+    full = fellegi_sunter_pairs(_df(spark), "id", "blk", ["seg"], threshold=0.0)
+    rows = {(r.id_a, r.id_b): r.agree_seg for r in full.collect()}
+    assert rows[(1, 2)] == 1 and rows[(7, 8)] == 0
+    gated = fellegi_sunter_pairs(_df(spark), "id", "blk", ["seg"], threshold=1.0)
+    assert all(r.score >= 1.0 for r in gated.collect())
+
+
+def test_multi_field_score_is_product(spark):
+    rows = [(1, "X", "a", 10), (2, "X", "a", 10), (3, "X", "b", 20)]
+    df = spark.createDataFrame(rows, "id long, blk string, f1 string, f2 int")
+    both = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_pairs(df, "id", "blk", ["f1", "f2"], threshold=0.0).collect()
+    }
+    single_f1 = {
+        (r.id_a, r.id_b): r.score
+        for r in fellegi_sunter_pairs(df, "id", "blk", ["f1"], threshold=0.0).collect()
+    }
+    # (1,2) agree on both fields: two-field score strictly exceeds one-field
+    assert both[(1, 2)] > single_f1[(1, 2)] > 1.0
