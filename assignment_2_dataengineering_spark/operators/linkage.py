@@ -1,10 +1,12 @@
 """Probabilistic record linkage (Fellegi–Sunter 1969).
 
-Blocked candidate pairs scored by a per-field likelihood RATIO: a field
-agreeing multiplies the score by m/u, disagreeing by (1-m)/(1-u), where
-m = P(agree | same entity) is a fixed prior and u = P(agree | random
-pair) is ESTIMATED FROM THE DATA as Σ freq(v)²/N² — rarer values make
-agreement more surprising, exactly the intuition the model formalizes.
+Blocked candidate pairs scored by a per-field likelihood RATIO with
+VALUE-SPECIFIC u (the frequency-based refinement in Fellegi & Sunter
+§3.3.1 and standard in Splink/fastLink): a field agreeing on value v
+multiplies the score by m / u_v where u_v = (freq(v)/N)² is the chance
+a random pair agrees on exactly v — agreeing on 'Smith' is weak
+evidence, agreeing on 'Xylander' is strong. Disagreement multiplies by
+(1-m)/(1-u_field) with the field-level u_field = Σ freq(v)²/N².
 
 Two deliberate engineering choices for engine-exactness:
 - the score is the plain likelihood ratio (product of rationals built
@@ -40,21 +42,20 @@ def fellegi_sunter_pairs(
     """Score blocked record pairs with the Fellegi–Sunter likelihood
     ratio over `compare_cols` equality agreements. Returns
     (id_a, id_b, agree_<col>... int flags, round(score, 4)) for pairs
-    with score ≥ threshold. m defaults to 0.9 for every field; u comes
-    from the data (Σ freq²/N², ordered-pair convention, exact integer
-    counts divided once into a double)."""
+    with score ≥ threshold. m defaults to 0.9 for every field;
+    agreement u is value-specific ((freq(v)/N)², the value the pair
+    shares), disagreement u is field-level (Σ freq²/N²) — all from
+    exact integer counts divided once into doubles."""
     n_df = df.agg(F.count(F.lit(1)).alias("__n"))
 
-    u_cols = []
-    u_dfs = []
+    freq_dfs = {}
+    field_u_dfs = []
     for c in compare_cols:
-        u = (
-            df.groupBy(c)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(F.sum(F.col("__c") * F.col("__c")).alias(f"__sq_{c}"))
+        freq = df.groupBy(c).agg(F.count(F.lit(1)).alias(f"__freq_{c}"))
+        freq_dfs[c] = freq.select(F.col(c).alias(f"__val_{c}"), f"__freq_{c}")
+        field_u_dfs.append(
+            freq.agg(F.sum(F.col(f"__freq_{c}") * F.col(f"__freq_{c}")).alias(f"__sq_{c}"))
         )
-        u_dfs.append(u)
-        u_cols.append(c)
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"), *compare_cols
@@ -64,12 +65,18 @@ def fellegi_sunter_pairs(
     pairs = a.join(
         b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id"))
     )
-    for u in u_dfs:
+    for c in compare_cols:
+        # freq of a's value; only consulted when the pair agrees on c
+        pairs = pairs.join(
+            F.broadcast(freq_dfs[c]), F.col(f"a.{c}") == F.col(f"__val_{c}"), "left"
+        )
+    for u in field_u_dfs:
         pairs = pairs.crossJoin(F.broadcast(u))
     pairs = pairs.crossJoin(F.broadcast(n_df))
 
     m = F.lit(m_pct) / F.lit(100.0)
     one_minus_m = F.lit(100 - m_pct) / F.lit(100.0)
+    n_dbl = F.col("__n").cast("double")
     score = F.lit(1.0)
     selects = [
         F.col("a.__id").alias("id_a"),
@@ -77,9 +84,10 @@ def fellegi_sunter_pairs(
     ]
     for c in compare_cols:
         agree = (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
-        u_val = F.col(f"__sq_{c}") / (F.col("__n") * F.col("__n"))
-        factor = F.when(agree == 1, m / u_val).otherwise(
-            one_minus_m / (F.lit(1.0) - u_val)
+        u_value = (F.col(f"__freq_{c}") / n_dbl) * (F.col(f"__freq_{c}") / n_dbl)
+        u_field = F.col(f"__sq_{c}") / (n_dbl * n_dbl)
+        factor = F.when(agree == 1, m / u_value).otherwise(
+            one_minus_m / (F.lit(1.0) - u_field)
         )
         score = score * factor
         selects.append(agree.alias(f"agree_{c}"))
@@ -95,39 +103,44 @@ def fellegi_sunter_oracle_sql(
     m_pct: int = 90,
     threshold: float = 1.0,
 ) -> str:
-    """DuckDB twin of fellegi_sunter_pairs: same u estimation, same
-    factor expressions in the same left-to-right multiplication order
-    (double products are order-sensitive; the generator pins it)."""
-    u_ctes = ",\n".join(
-        f"""u_{c} AS (SELECT sum(cc * cc) AS sq FROM (
-              SELECT count(*) AS cc FROM src GROUP BY {c}))"""
+    """DuckDB twin of fellegi_sunter_pairs: same per-value frequency
+    joins, same field-level sums, same factor expressions in the same
+    left-to-right multiplication order (double products are
+    order-sensitive; the generator pins it)."""
+    freq_ctes = ",\n".join(
+        f"""f_{c} AS (SELECT {c} AS val, count(*) AS freq FROM src GROUP BY {c}),
+            u_{c} AS (SELECT sum(freq * freq) AS sq FROM f_{c})"""
         for c in compare_cols
     )
     m = f"({m_pct} / 100.0)"
     omm = f"({100 - m_pct} / 100.0)"
     factors = []
     agree_cols = []
+    freq_joins = []
     for c in compare_cols:
-        u_val = f"(u_{c}.sq / (CAST(nn.n AS DOUBLE) * nn.n))"
+        u_value = f"((f_{c}.freq / CAST(nn.n AS DOUBLE)) * (f_{c}.freq / CAST(nn.n AS DOUBLE)))"
+        u_field = f"(u_{c}.sq / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)))"
         factors.append(
-            f"(CASE WHEN a.{c} = b.{c} THEN {m} / {u_val}"
-            f" ELSE {omm} / (1.0 - {u_val}) END)"
+            f"(CASE WHEN a.{c} = b.{c} THEN {m} / {u_value}"
+            f" ELSE {omm} / (1.0 - {u_field}) END)"
         )
         agree_cols.append(
             f"CAST(CASE WHEN a.{c} = b.{c} THEN 1 ELSE 0 END AS INTEGER) AS agree_{c}"
         )
+        freq_joins.append(f"LEFT JOIN f_{c} ON a.{c} = f_{c}.val")
     # left-assoc product in declaration order, seeded with 1.0 like Spark
     score = reduce(lambda acc, f: f"({acc} * {f})", factors, "1.0")
     u_joins = ", ".join(f"u_{c}" for c in compare_cols)
     return f"""
     WITH src AS ({source_sql}),
     nn AS (SELECT count(*) AS n FROM src),
-    {u_ctes}
+    {freq_ctes}
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
            {", ".join(agree_cols)},
            round({score}, 4) AS score
     FROM src a JOIN src b
-      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col},
+      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    {chr(10).join(freq_joins)},
       nn, {u_joins}
     WHERE round({score}, 4) >= {threshold}
     """

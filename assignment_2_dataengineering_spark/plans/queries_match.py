@@ -230,7 +230,7 @@ def q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         ["source", "len_bucket"],
-        threshold=5.0,
+        threshold=20.0,
     ),
     tags=("match", "linkage"),
 )
@@ -240,8 +240,8 @@ def q_prob_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     likelihood ratio m/u vs (1-m)/(1-u) where u is estimated from the
     data's value frequencies (operators/linkage.py — rationale for the
     ratio-not-log choice and the broadcast u-estimation there). Pairs
-    scoring ≥ 5 are link candidates: both fields agree AND at least one
-    agreeing value is rare enough to be evidential."""
+    scoring ≥ 20 are link candidates: both fields must agree, and the
+    value-specific u makes rare-value agreement dominate the ranking."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -249,5 +249,5 @@ def q_prob_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / 50).alias("len_bucket"),
     )
     return fellegi_sunter_pairs(
-        docs, "doc_id", "lang", ["source", "len_bucket"], threshold=5.0
+        docs, "doc_id", "lang", ["source", "len_bucket"], threshold=20.0
     )
