@@ -246,6 +246,30 @@ def vad_segments(
 
 
 @F.pandas_udf(T.BinaryType())
+def _decimate8(payload: pd.Series, factor: pd.Series) -> pd.Series:
+    """Keep every `factor`-th PCM-u8 sample (numpy stride slice over the
+    Arrow batch). Real resampling swaps this body for a polyphase
+    filter; the binary→binary Arrow signature and stride math are the
+    engine-side contract."""
+    out = []
+    for p, f in zip(payload, factor):
+        a = np.frombuffer(p, dtype=np.uint8)
+        out.append(a[:: int(f)].tobytes())
+    return pd.Series(out)
+
+
+def decimate_pcm(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Downsample each audio payload by an integer factor: sample i of
+    the output is sample i·factor of the input (zero-phase decimation,
+    anti-alias filtering stubbed at the documented seam). Adds
+    `resampled` + `resampled_len`; metadata sample rate divides by the
+    factor JVM-side."""
+    return media.withColumn(
+        "resampled", _decimate8("payload", F.lit(factor))
+    ).withColumn("resampled_len", F.length("resampled"))
+
+
+@F.pandas_udf(T.BinaryType())
 def _resize_cycle(payload: pd.Series, out_n: pd.Series) -> pd.Series:
     """Deterministic stand-in for image resample: cycle the source
     bytes to the target size (out[i] = in[i mod n]). A real resize

@@ -42,6 +42,33 @@ def with_quality_observation(
     return df.observe(obs, *metrics), obs
 
 
+def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
+    """Great-Expectations-style constraint report: each value is a
+    1-row DataFrame with an `n_violations` long (any shape of check —
+    null scan, range filter, duplicate-key aggregate, referential
+    anti-join); the report unions them into (constraint, n_violations,
+    status) rows ordered by constraint name.
+
+    Each check stays an independent plan, so Catalyst optimizes every
+    one in isolation (a null count never pays a join; an anti-join
+    check broadcasts its dim side) and the union is over 1-row results
+    — the report costs exactly the sum of its checks, no more."""
+    parts = [
+        df.select(
+            F.lit(name).alias("constraint"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.when(F.col("n_violations") == 0, F.lit("PASS"))
+            .otherwise(F.lit("FAIL"))
+            .alias("status"),
+        )
+        for name, df in sorted(checks.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def kanonymity_audit(
     df: DataFrame,
     quasi_cols: list[str],

@@ -1492,3 +1492,78 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "day", "user_cohort"],
         k=5,
     )
+
+
+@register(
+    "q_dq_suite",
+    oracle="""
+    SELECT 'lineitem_quantity_in_1_50' AS constraint,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations,
+           CASE WHEN (SELECT count(*) FROM lineitem
+                      WHERE l_quantity < 1 OR l_quantity > 50) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    UNION ALL
+    SELECT 'lineitem_returnflag_domain',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+           CASE WHEN (SELECT count(*) FROM lineitem
+                      WHERE l_returnflag NOT IN ('A', 'N', 'R')) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+           CASE WHEN (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'orders_custkey_refs_customer',
+           CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           CASE WHEN (SELECT count(*) FROM orders o LEFT JOIN customer c
+                      ON o.o_custkey = c.c_custkey
+                      WHERE c.c_custkey IS NULL) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST((SELECT coalesce(sum(n - 1), 0) FROM (
+                 SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                 HAVING count(*) > 1)) AS BIGINT),
+           CASE WHEN (SELECT coalesce(sum(n - 1), 0) FROM (
+                      SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                      HAVING count(*) > 1)) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    """,
+    tags=("governance", "quality"),
+)
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over the star schema
+    (operators.observe.dq_report): range check, domain check, not-null
+    check, referential-integrity anti-join, and key-uniqueness — each
+    an independent Catalyst plan (the RI check broadcasts customer; the
+    uniqueness check is one hash aggregate) unioned into a 1-row-per-
+    constraint PASS/FAIL report. The governance gate a pipeline runs
+    before publishing a snapshot."""
+    from ..operators.observe import dq_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    one = F.count(F.lit(1)).alias("n_violations")
+    checks = {
+        "lineitem_quantity_in_1_50": li.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).agg(one),
+        "lineitem_returnflag_domain": li.filter(
+            ~F.col("l_returnflag").isin("A", "N", "R")
+        ).agg(one),
+        "orders_custkey_not_null": orders.filter(F.col("o_custkey").isNull()).agg(one),
+        "orders_custkey_refs_customer": orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        ).agg(one),
+        "orders_orderkey_unique": orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations")),
+    }
+    return dq_report(checks)

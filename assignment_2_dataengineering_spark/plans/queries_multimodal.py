@@ -193,3 +193,28 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media(spark, sf_dir)
     frames = MM.pcm_energy_frames(m, frame_samples=8, center=64)
     return MM.vad_segments(frames, threshold_sq=14_400)
+
+
+@register(
+    "q_audio_resample",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(text) + 3) // 4 AS INT) AS n_out,
+           array_to_string(list_transform(range(0, (length(text) + 3) // 4),
+               i -> substr(text, i * 4 + 1, 1)), '') AS resampled_text
+    FROM documents
+    """,
+    tags=("multimodal", "audio"),
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4× PCM decimation (operators.multimodal.decimate_pcm): numpy
+    stride slicing over Arrow batches, binary in / binary out. The
+    oracle reconstructs the decimated byte stream from codepoints; the
+    text decode here exists only for comparability — production keeps
+    the resampled payload binary."""
+    m = MM.decimate_pcm(_media(spark, sf_dir), factor=4)
+    return m.select(
+        "doc_id",
+        F.col("resampled_len").cast("int").alias("n_out"),
+        F.decode("resampled", "UTF-8").alias("resampled_text"),
+    )

@@ -913,3 +913,74 @@ def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS e_us,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(e_us := epoch_us(ts),
+                                     event_id := event_id,
+                                     event_type := event_type) END AS touch
+        FROM events
+    ),
+    attributed AS (
+        SELECT event_id, user_id, event_type,
+               max(touch) OVER w AS last_touch,
+               min(touch) OVER w AS first_touch
+        FROM marked
+        WINDOW w AS (PARTITION BY user_id ORDER BY e_us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           last_touch.event_id AS last_touch_id,
+           last_touch.event_type AS last_touch_type,
+           first_touch.event_id AS first_touch_id,
+           first_touch.event_type AS first_touch_type
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+    tags=("temporal", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch marketing attribution: each purchase is
+    credited to the earliest and latest click/view by the same user in
+    a trailing 7-day RANGE window. The touch is a (epoch, event_id,
+    type) STRUCT so min/max order lexicographically — deterministic
+    even when two touches share a timestamp, with no second sort key
+    in the frame (RANGE frames admit only one ORDER BY expression).
+    One hash exchange on user_id serves both window aggregates; the
+    frame is value-based, so state per user is bounded by the 7-day
+    horizon, not history length — the streaming-watermark analog in a
+    batch plan."""
+    ev = T(spark, sf_dir, "events")
+    e_us = TP._us("ts")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            e_us.alias("e_us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(e_us)
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.max(touch).over(w).alias("last_touch"),
+        F.min(touch).over(w).alias("first_touch"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("last_touch.event_id").alias("last_touch_id"),
+        F.col("last_touch.event_type").alias("last_touch_type"),
+        F.col("first_touch.event_id").alias("first_touch_id"),
+        F.col("first_touch.event_type").alias("first_touch_type"),
+    )

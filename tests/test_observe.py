@@ -66,3 +66,29 @@ def test_kanonymity_audit_flags_exactly_the_small_classes(spark):
     )
     sizes = [r.n for r in survivors.groupBy("q1", "q2").agg(F.count(F.lit(1)).alias("n")).collect()]
     assert sizes and all(s >= 5 for s in sizes)
+
+
+def test_dq_report_flags_planted_violations(spark):
+    from assignment_2_dataengineering_spark.operators.observe import dq_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0), (3, None)], "id long, v double"
+    )
+    one = F.count(F.lit(1)).alias("n_violations")
+    checks = {
+        "v_not_null": df.filter(F.col("v").isNull()).agg(one),
+        "v_non_negative": df.filter(F.col("v") < 0).agg(one),
+        "id_unique": df.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations")),
+    }
+    got = {r.constraint: (r.n_violations, r.status) for r in dq_report(checks).collect()}
+    assert got == {
+        "id_unique": (1, "FAIL"),
+        "v_non_negative": (1, "FAIL"),
+        "v_not_null": (1, "FAIL"),
+    }
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    checks2 = {"v_not_null": clean.filter(F.col("v").isNull()).agg(one)}
+    assert dq_report(checks2).collect()[0].status == "PASS"
