@@ -50,6 +50,7 @@ def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pagerank",
     oracle=pagerank_oracle_sql(_EDGES_CTE, iterations=5),
     tags=("graph", "iterative"),
+    bench=True,  # the iterative superstep path in the headline set
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-superstep PageRank over the user follow-on interaction

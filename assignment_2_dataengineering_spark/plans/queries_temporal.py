@@ -942,6 +942,7 @@ def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM attributed WHERE event_type = 'purchase'
     """,
     tags=("temporal", "window"),
+    bench=True,  # the value-range window frame path
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First- and last-touch marketing attribution: each purchase is

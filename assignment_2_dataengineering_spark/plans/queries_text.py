@@ -367,6 +367,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bpe_merges",
     oracle=bpe_oracle_sql("SELECT text FROM documents", num_merges=6),
     tags=("tokenize", "iterative"),
+    bench=True,  # vocab-bounded iterative loop in the headline set
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six BPE merges learned from the documents corpus
