@@ -348,3 +348,108 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "query_label", "neg_id", "neg_label", "rank", "cos_sim")
     )
+
+
+def _cos_sliced_sql(d: int) -> str:
+    """Cosine over the first `d` dims, double precision, 6dp round —
+    the sliced twin of _COS_SQL (same fold order)."""
+    return f"""
+        round(
+          list_sum(list_transform(range(1, {d} + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / nullif(
+              sqrt(list_sum(list_transform(range(1, {d} + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, {d} + 1),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+              0.0),
+          6)
+"""
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle() -> str:
+    base = f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT * FROM embeddings),
+         full_topk AS (
+           SELECT query_id, match_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {_cos_sliced_sql(64)} DESC,
+                                                c.vec_id ASC) AS rank
+             FROM q JOIN c ON c.vec_id <> q.vec_id
+           ) WHERE rank <= {_TOP_K}
+         )"""
+    per_dim = []
+    for d in _MATRYOSHKA_DIMS:
+        per_dim.append(
+            f"""
+         t{d} AS (
+           SELECT query_id, match_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {_cos_sliced_sql(d)} DESC,
+                                                c.vec_id ASC) AS rank
+             FROM q JOIN c ON c.vec_id <> q.vec_id
+           ) WHERE rank <= {_TOP_K}
+         ),
+         r{d} AS (
+           SELECT {d} AS trunc_dim, f.query_id,
+                  CAST(count(t.match_id) AS BIGINT) AS n_overlap,
+                  round(count(t.match_id) / {_TOP_K}.0, 2) AS recall
+           FROM full_topk f LEFT JOIN t{d} t
+             ON f.query_id = t.query_id AND f.match_id = t.match_id
+           GROUP BY f.query_id
+         )"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT trunc_dim, query_id, n_overlap, recall FROM r{d}"
+        for d in _MATRYOSHKA_DIMS
+    )
+    return base + "," + ",".join(per_dim) + "\n" + union
+
+
+@register(
+    "q_matryoshka",
+    oracle=_matryoshka_oracle(),
+    tags=("similarity", "eval"),
+)
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: recall@10 of cosine top-k over
+    the first d ∈ {8,16,32,64} embedding dims against the full-dim
+    ranking — the measurement that tells you how far you can shrink
+    vectors (and the ANN index with them) before retrieval degrades.
+    Truncation is F.slice (JVM), every tier reuses the broadcast-query
+    brute-force plan, and recall is a per-query join-count — the whole
+    sweep is |dims| corpus scans, no quadratic blowup. The d=64 row is
+    the self-check (recall 1.0 by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    full = SIM.brute_force_topk(queries, emb, k=_TOP_K).select("query_id", "match_id")
+    out = None
+    for d in _MATRYOSHKA_DIMS:
+        trunc = lambda df: df.withColumn("embedding", F.slice("embedding", 1, d))
+        topd = SIM.brute_force_topk(trunc(queries), trunc(emb), k=_TOP_K).select(
+            "query_id", F.col("match_id").alias("m_id")
+        )
+        rec = (
+            full.join(
+                topd,
+                (full["query_id"] == topd["query_id"])
+                & (full["match_id"] == topd["m_id"]),
+                "left",
+            )
+            .groupBy(full["query_id"])
+            .agg(
+                F.count("m_id").alias("n_overlap"),
+                F.round(F.count("m_id") / F.lit(float(_TOP_K)), 2).alias("recall"),
+            )
+            .select(
+                F.lit(d).alias("trunc_dim"), "query_id", "n_overlap", "recall"
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

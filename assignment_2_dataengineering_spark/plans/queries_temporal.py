@@ -985,3 +985,50 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_touch.event_id").alias("first_touch_id"),
         F.col("first_touch.event_type").alias("first_touch_type"),
     )
+
+
+@register(
+    "q_decay_agg",
+    oracle="""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS a_us FROM events),
+         w AS (
+           SELECT user_id,
+                  CAST(floor(value * 100) AS BIGINT)
+                    * pow(2.0, -((a_us - epoch_us(ts)) // 86400000000)) AS dv
+           FROM events, anchor
+           WHERE event_type = 'purchase'
+         )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(dv) / 100, 6) AS decayed_cents
+    FROM w GROUP BY user_id
+    """,
+    tags=("temporal", "agg"),
+)
+def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay purchase score per user (half-life one
+    day, anchored at the corpus max timestamp): the recency weighting
+    behind engagement scores and decayed LTV. Engineered for
+    cross-engine exactness — values floor to integer cents, the decay
+    weight is a POWER OF TWO (2^-age_days, exactly representable; a
+    libm exp() would drift in the last ulp), so every addend is a
+    dyadic rational m/2^k and the double sum is EXACT and
+    order-independent at any parallelism. The anchor rides a 1-row
+    broadcast cross-join; one hash aggregate on user_id."""
+    ev_all = T(spark, sf_dir, "events")
+    ev = ev_all.filter(F.col("event_type") == "purchase")
+    anchor = ev_all.agg(F.max(TP._us("ts")).alias("a_us"))
+    age_days = F.expr("(a_us - __e_us) DIV 86400000000")
+    dv = F.floor(F.col("value") * 100).cast("long") * F.pow(
+        F.lit(2.0), -age_days
+    )
+    return (
+        ev.withColumn("__e_us", TP._us("ts"))
+        .crossJoin(F.broadcast(anchor))
+        .select("user_id", dv.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("dv") / 100, 6).alias("decayed_cents"),
+        )
+    )
