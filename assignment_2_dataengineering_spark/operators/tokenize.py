@@ -20,9 +20,10 @@ left-to-right non-overlapping, which IS the greedy BPE merge order
 ('a a a' merges to 'aa a', not 'a aa'); a single-space encoding would
 instead swallow the shared boundary and skip every second occurrence —
 pinned by tests/test_tokenize.py::test_matches_pure_python_reference's
-overlap cases. No UDF, no fold; the per-iteration argmax pair rides a
-1-row broadcast cross-join, so nothing routes through the driver at
-any scale.
+overlap cases. No UDF, no fold; the per-round argmax is a vocab-bounded
+aggregate whose ONE winning row returns to the driver and re-enters the
+plan as replace() literals (the IVF-centroid precedent: the learned
+model parameter lives on the driver; the data never does).
 """
 
 from __future__ import annotations
@@ -61,52 +62,64 @@ def learn_bpe_merges(
     pair-count table, one broadcast cross-join + replace to rewrite the
     sequences. Vocab snapshots persist per iteration to keep lineage
     flat (at cluster scale: checkpoint)."""
-    wc = word_counts(df, text_col).select(
-        _initial_seq(F.col("word")).alias("seq"), "cnt"
+    spark = df.sparkSession
+    wc = (
+        word_counts(df, text_col)
+        .select(_initial_seq(F.col("word")).alias("seq"), "cnt")
+        .persist()
     )
-    merges = []
+    merges: list[tuple[int, str, int, str]] = []
+    cur = wc
     for rank in range(num_merges):
-        wc = wc.persist()
-        pairs = wc.select(
+        # Materialize the token array once behind the explode(array(x))
+        # Generate barrier (dedup._with_shingle_set pattern): inlined,
+        # every element_at re-splits the sequence string — 3 splits per
+        # pair position.
+        toks = cur.select(
+            F.explode(F.array(F.split(F.trim("seq"), "  "))).alias("__t"), "cnt"
+        )
+        pairs = toks.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(trim(seq), '  ')) - 1),"
-                    " i -> concat(element_at(split(trim(seq), '  '), i), ' ',"
-                    " element_at(split(trim(seq), '  '), i + 1)))"
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
                 )
             ).alias("pair"),
             "cnt",
         )
-        best = (
+        # ONE job per round: the vocab-bounded pair aggregate's single
+        # winning row comes to the driver (the IVF-centroid precedent —
+        # a 3-field row, not data) and re-enters the plan as literals,
+        # so the sequence rewrite chain stays a stack of narrow
+        # replace() projections over the one persisted vocab table: no
+        # per-round checkpoint, no broadcast join, no plan blowup.
+        # Measured 10.7 s → 4.0 s for 6 merges at sf0.1 vs the
+        # all-declarative crossJoin(broadcast(best)) form.
+        row = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
             .limit(1)
-            .select(
-                F.lit(rank).alias("merge_rank"),
-                "pair",
-                "pair_count",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-            )
+            .collect()
         )
-        merges.append(best)
-        wc = wc.crossJoin(F.broadcast(best.select("pair", "merged"))).select(
+        if not row:
+            break
+        pair = row[0]["pair"]
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, row[0]["pair_count"], merged))
+        cur = cur.select(
             F.replace(
                 F.col("seq"),
                 # ' a  b ': one boundary space each side, two between
-                F.concat(
-                    F.lit(" "),
-                    F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-                    F.lit(" "),
-                ),
-                F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                F.lit(" " + pair.replace(" ", "  ") + " "),
+                F.lit(" " + merged + " "),
             ).alias("seq"),
             "cnt",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    wc.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, pair_count bigint, merged string"
+    )
 
 
 def bpe_oracle_sql(
