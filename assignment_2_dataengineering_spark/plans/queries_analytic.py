@@ -1567,3 +1567,79 @@ def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations")),
     }
     return dq_report(checks)
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(value * 10) AS BIGINT) AS bin,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in2
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    n AS (SELECT sum(in1) AS n1, sum(in2) AS n2 FROM s),
+    grouped AS (
+        SELECT bin, sum(in1) AS c1, sum(in2) AS c2 FROM s GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               sum(c1) OVER (ORDER BY bin) AS cc1,
+               sum(c2) OVER (ORDER BY bin) AS cc2
+        FROM grouped
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(abs(cc1 / CAST(n.n1 AS DOUBLE) - cc2 / CAST(n.n2 AS DOUBLE)), 6)
+             AS ks_stat,
+           bin AS at_bin
+    FROM cum, n
+    ORDER BY round(abs(cc1 / CAST(n.n1 AS DOUBLE) - cc2 / CAST(n.n2 AS DOUBLE)), 6)
+             DESC, bin ASC
+    LIMIT 1
+    """,
+    tags=("stats",),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and
+    purchase value distributions, over a 0.1-wide binned domain:
+    sup |F₁ − F₂| with the achieving bin (ties → smallest bin). The
+    empirical CDFs are one hash aggregate on the bin plus a cumulative
+    window over the ~2k-row BINNED domain — binning is what caps the
+    global-ordered window at a bounded size regardless of input rows
+    (an unbinned KS over a continuous column would need the two-phase
+    prefix-sum of sampling.global_shuffle_rank). Counts are integers;
+    both engines divide the same integers by the same totals, so the
+    statistic is bit-stable at 6dp."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.floor(F.col("value") * 10).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("in2"),
+    )
+    n = s.agg(
+        F.sum("in1").cast("long").alias("n1"), F.sum("in2").cast("long").alias("n2")
+    )
+    grouped = s.groupBy("bin").agg(
+        F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped.select(
+        "bin",
+        F.sum("c1").over(w).alias("cc1"),
+        F.sum("c2").over(w).alias("cc2"),
+    )
+    d = F.round(
+        F.abs(
+            F.col("cc1") / F.col("n1").cast("double")
+            - F.col("cc2") / F.col("n2").cast("double")
+        ),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .select("n1", "n2", d.alias("ks_stat"), F.col("bin").alias("at_bin"))
+        .orderBy(F.col("ks_stat").desc(), F.col("at_bin").asc())
+        .limit(1)
+    )
