@@ -7,6 +7,8 @@ at the pandas/paho construct each one re-expresses.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -217,6 +219,59 @@ def scd2_merge(
         history.unionByName(kept_current)
         .unionByName(new_versions)
         .unionByName(inserts)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Changelog GENERATION — the inverse of apply_changelog: diff two
+    snapshot versions into (keys..., change_type I/U/D, old_<col>,
+    new_<col>) rows. Insert = key only in `new`, delete = only in
+    `old`, update = present in both with any compared column differing
+    (null-safe comparison, so NULL→value and value→NULL both register).
+    Unchanged keys are dropped — the output is delta-sized, which is
+    the point: shipping a changelog beats re-shipping a 100 TB
+    snapshot.
+
+    Plan: ONE full-outer sort-merge join on the key (both sides
+    bucketed on the key drop their exchanges, SCALE.md §1); presence is
+    tracked by literal flags (not value-null probes, which would
+    misread all-NULL rows), and the change classification is pure
+    codegen. apply_changelog(old, diff) reproducing `new` is the
+    round-trip law pinned in tests/test_scale_ops.py."""
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
     )
 
 

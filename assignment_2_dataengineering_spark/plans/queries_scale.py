@@ -505,3 +505,63 @@ def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_hash"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v_old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    v_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 31 = 5 THEN 'R' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN round(o_totalprice + 1, 2) ELSE o_totalprice END
+                 AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 7
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM v_old o FULL OUTER JOIN v_new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    tags=("cdc", "relational"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog generation between two snapshot versions of orders
+    (operators.relational.snapshot_diff): deterministic synthetic drift
+    — keys ≡3 mod 97 absent from v_old (inserts), ≡7 mod 89 absent
+    from v_new (deletes), ≡0 mod 13 repriced and ≡5 mod 31 re-statused
+    (updates). One full-outer join on the key, delta-sized output; the
+    apply_changelog round-trip law is pinned in tests/test_scale_ops.py."""
+    from ..operators.relational import snapshot_diff
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v_old = orders.filter(F.col("o_orderkey") % 97 != 3)
+    v_new = orders.filter(F.col("o_orderkey") % 89 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 5, F.lit("R"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        v_old, v_new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

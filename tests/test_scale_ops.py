@@ -332,3 +332,57 @@ class TestApplyChangelog:
         # replaces the row: a NULL attr in the last change IS the value
         got = self._apply(spark, [(1, "a")], [(1, None, 1, "U")])
         assert got == {1: None}
+
+
+def test_snapshot_diff_roundtrip_and_delta_sized(spark, sf_dir):
+    """apply_changelog(old, diff) == new — the diff/apply round-trip
+    law, plus: the diff contains only changed keys."""
+    from assignment_2_dataengineering_spark.operators.relational import (
+        apply_changelog,
+        snapshot_diff,
+    )
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v_old = orders.filter(F.col("o_orderkey") % 97 != 3)
+    v_new = orders.filter(F.col("o_orderkey") % 89 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 5, F.lit("R"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = snapshot_diff(v_old, v_new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+    # adapt the diff to apply_changelog's changelog contract: post-image
+    # columns + op (I/U are upserts, D deletes), one change per key
+    changes = diff.select(
+        "o_orderkey",
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+        F.col("new_o_totalprice").alias("o_totalprice"),
+        F.col("change_type").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    rebuilt = apply_changelog(
+        v_old, changes, ["o_orderkey"], ["seq"], op_col="op", delete_op="D"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    assert rebuilt.exceptAll(v_new).count() == 0
+    assert v_new.exceptAll(rebuilt).count() == 0
+
+    # delta-sized: every diff key really changed between the versions
+    n_diff = diff.count()
+    assert 0 < n_diff < v_new.count()
+    unchanged_in_diff = (
+        diff.filter(F.col("change_type") == "U")
+        .filter(
+            F.col("old_o_orderstatus").eqNullSafe(F.col("new_o_orderstatus"))
+            & F.col("old_o_totalprice").eqNullSafe(F.col("new_o_totalprice"))
+        )
+        .count()
+    )
+    assert unchanged_in_diff == 0
