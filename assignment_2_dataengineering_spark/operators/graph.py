@@ -146,3 +146,90 @@ def pagerank_oracle_sql(
         f"SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{iterations}"
     )
     return "\n".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) made deterministic: every node starts labeled with
+    itself; each round it adopts the label most frequent among its
+    neighbors, ties broken by SMALLEST label; isolated ties and
+    no-neighbor nodes keep their label. Returns (node, label) after
+    `iterations` rounds.
+
+    Per round: one edges⋈labels join, one (node, label) count
+    aggregate, one ranking window on the node partitioning — all keyed
+    shuffles, state |V| + |E|. Deterministic by construction (integer
+    counts, total-order tie-break), so a fixed-round run is exactly
+    reproducible in SQL — see label_propagation_oracle_sql. Rounds are
+    eagerly localCheckpointed like pagerank (same optimizer-blowup
+    reason)."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ud = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    nodes = ud.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("dst_node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        labels = labels.localCheckpoint()
+        nb = (
+            ud.join(labels, ud["a"] == labels["node"])
+            .select(F.col("b").alias("dst_node"), "label")
+            .groupBy("dst_node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("dst_node").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, iterations: int = 4) -> str:
+    """Iteration-unrolled DuckDB twin of label_propagation: identical
+    undirected edge expansion, count, and (count DESC, label ASC)
+    tie-break per round."""
+    parts = [
+        f"WITH {edges_cte},",
+        """ud AS (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges)),
+        nodes AS (SELECT DISTINCT a AS node FROM ud),
+        l0 AS (SELECT node, node AS label FROM nodes),""",
+    ]
+    for i in range(iterations):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        parts.append(
+            f"""nb{i} AS (
+                SELECT ud.b AS dst_node, r.label, count(*) AS cnt
+                FROM ud JOIN {prev} r ON ud.a = r.node
+                GROUP BY ud.b, r.label
+            ),
+            top{i} AS (
+                SELECT dst_node AS node, label AS new_label FROM (
+                    SELECT dst_node, label,
+                           row_number() OVER (PARTITION BY dst_node
+                                              ORDER BY cnt DESC, label ASC) AS rn
+                    FROM nb{i}
+                ) WHERE rn = 1
+            ),
+            {cur} AS (
+                SELECT p.node, coalesce(t.new_label, p.label) AS label
+                FROM {prev} p LEFT JOIN top{i} t ON p.node = t.node
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(f"SELECT node, label FROM l{iterations}")
+    return "\n".join(parts)

@@ -61,3 +61,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling mass and |V| ride 1-row broadcast cross-joins, so nothing
     routes through the driver at any scale."""
     return pagerank(_user_edges(spark, sf_dir), iterations=5)
+
+
+from ..operators.graph import label_propagation, label_propagation_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_communities",
+    oracle=label_propagation_oracle_sql(_EDGES_CTE, iterations=4),
+    tags=("graph", "iterative"),
+)
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-round synchronous label-propagation communities over the
+    user interaction graph — the community-detection sibling of
+    q_pagerank (centrality) and dedup_clusters (connectivity). Made
+    deterministic by the (count DESC, label ASC) adoption rule, so the
+    unrolled-SQL oracle reproduces every round exactly; same keyed
+    superstep shuffles, same eager per-round checkpoint."""
+    return label_propagation(_user_edges(spark, sf_dir), iterations=4)

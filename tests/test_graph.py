@@ -60,3 +60,53 @@ def test_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank_scaled for r in pagerank(df1, iterations=3).collect()}
     r7 = {r.node: r.rank_scaled for r in pagerank(df7, iterations=3).collect()}
     assert r1 == r7
+
+
+def test_label_propagation_two_cliques(spark):
+    from assignment_2_dataengineering_spark.operators.graph import label_propagation
+
+    # two triangles joined by one weak bridge: each triangle converges
+    # to its min member label
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df, iterations=6).collect()}
+    # each triangle is internally label-consistent; the bridge c—x lets
+    # a label LEAK into the second triangle (it converges to 'c' here —
+    # standard synchronous-LPA behavior) but cannot merge them
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "c"
+    assert got["a"] != got["x"]  # two communities survive
+
+
+def test_label_propagation_matches_generated_oracle(spark):
+    import duckdb
+
+    from assignment_2_dataengineering_spark.operators.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("c", "d"), ("f", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    vals = ",".join(f"('{s}','{d}')" for s, d in edges)
+    sql = label_propagation_oracle_sql(
+        f"edges AS (SELECT * FROM (VALUES {vals}) t(src, dst))", iterations=3
+    )
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from assignment_2_dataengineering_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a")]
+    d1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    d9 = spark.createDataFrame(edges, "src string, dst string").repartition(9)
+    r1 = {r.node: r.label for r in label_propagation(d1, iterations=3).collect()}
+    r9 = {r.node: r.label for r in label_propagation(d9, iterations=3).collect()}
+    assert r1 == r9
