@@ -1643,3 +1643,110 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ks_stat").desc(), F.col("at_bin").asc())
         .limit(1)
     )
+
+
+@register(
+    "q_eval_metrics",
+    oracle="""
+    WITH pred AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN round(len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+                         * 1.0 / greatest(len(string_split(text, ' ')), 1), 4) >= 0.08
+                    THEN 1 ELSE 0 END AS yhat
+        FROM documents
+    ),
+    cm AS (
+        SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+               CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+               CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+           round(((tp + tn) / CAST(n AS DOUBLE)
+                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM cm
+    """,
+    tags=("stats", "eval"),
+)
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in one pass: confusion matrix of the
+    engine's stopword-density English detector (q_lang_id's rule)
+    against the corpus ground-truth lang, with precision / recall / F1
+    / Cohen's κ. The matrix cells are integer indicator sums computed
+    in ONE aggregate over the scan (no per-class passes); every derived
+    metric divides the same integers in the same expression shape both
+    engines, so all four are bit-stable at 6dp. The evaluation harness
+    every model-based corpus filter needs before it gates 100 TB."""
+    from ..functions.text import stopword_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    yhat = F.when(F.round(stopword_ratio(F.col("text")), 4) >= 0.08, 1).otherwise(0)
+    cm = d.select(y.alias("y"), yhat.alias("yhat")).agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("long").alias("tn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    n_d = F.col("n").cast("double")
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n_d * n_d)
+    po = (tp + tn) / n_d
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp / (tp + fp).cast("double"), 6).alias("precision"),
+        F.round(tp / (tp + fn).cast("double"), 6).alias("recall"),
+        F.round(2.0 * tp / (2 * tp + fp + fn).cast("double"), 6).alias("f1"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "q_join_cardinality",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+         b AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1)
+    SELECT CAST(sum(a.c * b.c) AS BIGINT) AS join_rows,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS left_rows,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS right_rows,
+           CAST(max(a.c * b.c) AS BIGINT) AS max_key_contribution
+    FROM a JOIN b USING (k)
+    """,
+    tags=("observability",),
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join:
+    Σ_k |L_k|·|R_k| over per-key histograms, plus the hottest key's
+    contribution (the skew-planning number that decides salting). The
+    histograms are two key-count aggregates — each a fraction of the
+    join's own shuffle — and the summary is histogram-sized. The
+    capacity-planning probe you run BEFORE committing a 100 TB join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    totals_o = o.agg(F.count(F.lit(1)).cast("long").alias("left_rows"))
+    totals_c = c.agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    return (
+        a.join(b, "k")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_rows"),
+            F.max(F.col("ca") * F.col("cb")).cast("long").alias("max_key_contribution"),
+        )
+        .crossJoin(F.broadcast(totals_o))
+        .crossJoin(F.broadcast(totals_c))
+        .select("join_rows", "left_rows", "right_rows", "max_key_contribution")
+    )
