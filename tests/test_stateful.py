@@ -8,6 +8,7 @@ values per key. The transformWithStateInPandas twin is a gated seam
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from assignment_2_dataengineering_spark.streaming import stateful
@@ -91,3 +92,80 @@ def test_tws_variant_gated_without_protobuf(spark, two_batch_dir):
     )
     with pytest.raises(ImportError, match="protobuf"):
         stateful.running_topk_tws(stream, key="user_id", value_col="value", k=K)
+
+
+def test_decayed_counter_matches_batch_and_ignores_arrival_order(
+    spark, tmp_path_factory
+):
+    """Streaming decayed counter == one-shot batch aggregate, even when
+    micro-batches arrive out of event-time order (batch 1 holds the
+    LATER days)."""
+    import shutil
+    from datetime import datetime
+
+    d = tmp_path_factory.mktemp("decay_stream")
+    later = [
+        (u, datetime(2024, 1, 10 + (u % 3), 12, 0, 0), float(u) + 10.5)
+        for u in range(4)
+        for _ in range(3)
+    ]
+    earlier = [
+        (u, datetime(2024, 1, 1 + (u % 5), 9, 30, 0), float(u) * 2 + 3.25)
+        for u in range(4)
+        for _ in range(2)
+    ]
+    schema = "user_id long, ts timestamp_ntz, value double"
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(earlier, schema).coalesce(1).write.parquet(str(d / "b2"))
+    src = d / "src"
+    src.mkdir()
+    n = 0
+    for sub in ("b1", "b2"):
+        for f in sorted((d / sub).glob("*.parquet")):
+            shutil.copy(f, src / f"{n:03d}.parquet")
+            n += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful.decayed_counter(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decay_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.sql(
+        """SELECT key, anchor_day, decayed_cents FROM (
+             SELECT *, row_number() OVER (PARTITION BY key
+                                          ORDER BY n_seen DESC) AS rn
+             FROM decay_sink) WHERE rn = 1"""
+    ).collect()
+    got = {r.key: (r.anchor_day, r.decayed_cents) for r in res}
+
+    # one-shot batch twin: anchor at each key's max epoch-day
+    allrows = spark.createDataFrame(later + earlier, schema)
+    day = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    batch = (
+        allrows.withColumn("d", day)
+        .withColumn("cents", F.floor(F.col("value") * 100))
+        .withColumn("maxd", F.max("d").over(Window.partitionBy("user_id")))
+        .groupBy("user_id", "maxd")
+        .agg(
+            (F.sum(F.col("cents") * F.pow(F.lit(2.0), F.col("d") - F.col("maxd"))) / 100.0).alias(
+                "dc"
+            )
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.maxd, r.dc) for r in batch}
+    assert got == want
