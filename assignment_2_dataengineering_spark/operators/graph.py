@@ -233,3 +233,62 @@ def label_propagation_oracle_sql(edges_cte: str, iterations: int = 4) -> str:
     parts[-1] = parts[-1].rstrip().rstrip(",")
     parts.append(f"SELECT node, label FROM l{iterations}")
     return "\n".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop distance from a seed set, breadth-first, directed:
+    returns (node, hops) for every node reachable in ≤ max_hops (seeds
+    at 0). Frontier expansion per round: one edges⋈frontier join + one
+    anti-join against the visited set — the visited set grows
+    monotonically, so each round's join input SHRINKS as the graph
+    saturates (the property that makes fixed-depth BFS cheap even on
+    dense graphs). Rounds are eagerly localCheckpointed (same
+    optimizer-blowup rationale as pagerank)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        visited = visited.localCheckpoint()
+        frontier = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+        ).localCheckpoint()
+        visited = visited.unionByName(frontier)
+    return visited
+
+
+def bfs_hops_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int = 3) -> str:
+    """Unrolled DuckDB twin of bfs_hops: per round, new frontier =
+    distinct successors of the previous frontier minus everything
+    already reached."""
+    parts = [
+        f"WITH {edges_cte},",
+        f"v0 AS (SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql})),",
+        "f0 AS (SELECT node FROM v0),",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""f{h} AS (
+                SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN f{h - 1} f ON e.src = f.node
+                WHERE e.dst NOT IN (SELECT node FROM v{h - 1})
+            ),
+            v{h} AS (
+                SELECT node, hops FROM v{h - 1}
+                UNION ALL SELECT node, {h} AS hops FROM f{h}
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(f"SELECT node, CAST(hops AS INT) AS hops FROM v{max_hops}")
+    return "\n".join(parts)

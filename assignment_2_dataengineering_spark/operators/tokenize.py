@@ -172,3 +172,91 @@ def bpe_oracle_sql(
     )
     parts.append(union)
     return "\n".join(parts)
+
+
+def doc_seq(text: F.Column) -> F.Column:
+    """Whole-document spaced symbol sequence: each char a symbol, each
+    space replaced by the end-of-word marker, one trailing marker —
+    same two-space encoding as learning. Cross-word merges are
+    impossible by construction: no learned pair ever has the marker as
+    its LEFT element (it is always word-final during learning), so
+    applying merges to the concatenated form equals applying them
+    word-by-word."""
+    chars = F.expr(
+        "transform(sequence(1, length(text)),"
+        f" i -> CASE WHEN substr(text, i, 1) = ' ' THEN '{EOW}'"
+        " ELSE substr(text, i, 1) END)"
+    )
+    return F.concat(
+        F.lit("  "), F.concat_ws("  ", chars), F.lit("  " + EOW + "  ")
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge list (rank order): the
+    chained declarative replace() that learning used on the vocab
+    table, applied to whole-document sequences. Returns (id, n_chars,
+    n_tokens) — n_tokens after all merges. Pure codegen, zero
+    shuffles: tokenization runs at scan speed over 100 TB, which is
+    the reason to express BPE encoding as string rewriting instead of
+    a per-row Python tokenizer."""
+    seq = doc_seq(F.col(text_col))
+    for pair, merged in merges:
+        seq = F.replace(
+            seq,
+            F.lit(" " + pair.replace(" ", "  ") + " "),
+            F.lit(" " + merged + " "),
+        )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.split(F.trim(seq), "  ")).alias("n_tokens"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents", num_merges: int = 6
+) -> str:
+    """DuckDB twin of learn-then-encode: the learning CTE chain (same
+    as bpe_oracle_sql) feeding a chained document-sequence rewrite —
+    the b_r single-row CTEs supply each round's pattern via cross
+    join."""
+    learn = bpe_oracle_sql(
+        f"SELECT text FROM ({source_sql})", num_merges=num_merges
+    )
+    # strip the final SELECT (the merge-table union) off the learning SQL
+    cut = learn.rindex("SELECT merge_rank, pair, pair_count, merged FROM b0")
+    with_block = learn[:cut].rstrip()
+    assert with_block.endswith(")")
+    parts = [
+        with_block + ",",
+        f"""docs0 AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   '  ' || array_to_string(list_transform(range(1, length(text) + 1),
+                       i -> CASE WHEN substr(text, i, 1) = ' ' THEN '{EOW}'
+                            ELSE substr(text, i, 1) END), '  ')
+                   || '  {EOW}  ' AS seq
+            FROM ({source_sql})
+        ),""",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""docs{r + 1} AS (
+                SELECT doc_id, n_chars,
+                       replace(seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                               ' ' || b.merged || ' ') AS seq
+                FROM docs{r}, b{r} b
+            ),"""
+        )
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(
+        f"""SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+               CAST(len(string_split(trim(seq), '  ')) AS INT) AS n_tokens
+        FROM docs{num_merges}"""
+    )
+    return "\n".join(parts)

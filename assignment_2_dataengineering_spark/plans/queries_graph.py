@@ -79,3 +79,24 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-SQL oracle reproduces every round exactly; same keyed
     superstep shuffles, same eager per-round checkpoint."""
     return label_propagation(_user_edges(spark, sf_dir), iterations=4)
+
+
+from ..operators.graph import bfs_hops, bfs_hops_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_bfs_reach",
+    oracle=bfs_hops_oracle_sql(
+        _EDGES_CTE, "SELECT 0 AS node", max_hops=3
+    ),
+    tags=("graph", "iterative"),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-hop breadth-first reachability from user 0 over the
+    interaction graph: (node, min-hop distance). The traversal third
+    of the graph family (centrality / communities / reachability);
+    frontier-minus-visited per round, unrolled-SQL oracle."""
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return bfs_hops(_user_edges(spark, sf_dir), seeds, max_hops=3).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )

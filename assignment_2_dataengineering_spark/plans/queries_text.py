@@ -377,3 +377,29 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges. The oracle is the same algorithm unrolled to chained CTEs —
     iterative vocabulary induction, hash-exact across engines."""
     return learn_bpe_merges(T(spark, sf_dir, "documents"), num_merges=6)
+
+
+from ..operators.tokenize import apply_bpe_merges, bpe_encode_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_bpe_encode",
+    oracle=bpe_encode_oracle_sql("SELECT doc_id, text FROM documents", num_merges=6),
+    tags=("tokenize", "iterative"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-encode: the 6 learned merges (q_bpe_merges) applied
+    to every document as a chained declarative replace() over the
+    whole-document symbol sequence — (doc_id, n_chars, n_tokens). The
+    encode side is ZERO-shuffle scan-speed codegen (the merges are six
+    literals); only learning pays aggregates. Cross-word merges are
+    impossible by the end-of-word-marker invariant
+    (operators/tokenize.py doc_seq)."""
+    docs = T(spark, sf_dir, "documents")
+    merges = [
+        (r["pair"], r["merged"])
+        for r in learn_bpe_merges(docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return apply_bpe_merges(docs, merges)

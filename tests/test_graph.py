@@ -110,3 +110,16 @@ def test_label_propagation_deterministic_across_partitionings(spark):
     r1 = {r.node: r.label for r in label_propagation(d1, iterations=3).collect()}
     r9 = {r.node: r.label for r in label_propagation(d9, iterations=3).collect()}
     assert r1 == r9
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    from assignment_2_dataengineering_spark.operators.graph import bfs_hops
+
+    # chain a->b->c->d->e plus shortcut a->c: c at hop 1 (not 2)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in bfs_hops(e, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    got3 = {r.node: r.hops for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got3["e"] == 3

@@ -76,3 +76,44 @@ def test_merged_symbol_feeds_later_merges(spark):
     assert rows[1].pair == "ab </w>"
     # round 2 merges two MERGED symbols — the hierarchy property
     assert rows[2].pair == "ab ab</w>" and rows[2].merged == "abab</w>"
+
+
+def test_encode_matches_python_reference_and_compresses(spark):
+    from assignment_2_dataengineering_spark.operators.tokenize import apply_bpe_merges
+
+    texts = ["the cat sat on the mat", "the rat ate the cat", "aaa aaaa aa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    merges_rows = _reference_bpe(texts, 6)
+    merges = [(p, m) for _, p, _, m in merges_rows]
+
+    got = {r.doc_id: r.n_tokens for r in apply_bpe_merges(df, merges).collect()}
+
+    def py_encode(text):
+        n = 0
+        for w in text.split(" "):
+            if not w:
+                continue
+            syms = list(w) + [EOW]
+            for (pair, merged) in merges:
+                a, b = pair.split(" ")
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n += len(syms)
+        return n
+
+    # doc_seq maps each inter-word space to one end-of-word marker and
+    # appends the final word's marker — token counts equal the per-word sum
+    want = {i: py_encode(t) for i, t in enumerate(texts)}
+    assert got == want
+
+    # encoding with merges strictly compresses vs no merges
+    none = {r.doc_id: r.n_tokens for r in apply_bpe_merges(df, []).collect()}
+    assert all(got[i] < none[i] for i in got)
