@@ -100,3 +100,36 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(_user_edges(spark, sf_dir), seeds, max_hops=3).select(
         "node", F.col("hops").cast("int").alias("hops")
     )
+
+
+@register(
+    "q_degree_stats",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT user_id AS src, next_user AS dst
+        FROM (
+            SELECT user_id,
+                   lead(user_id) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS next_user
+            FROM events
+        )
+        WHERE next_user IS NOT NULL AND next_user <> user_id
+    ),
+    deg AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY 1)
+    SELECT CAST(out_degree AS BIGINT) AS out_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+    tags=("graph", "stats"),
+)
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the interaction graph — the shape
+    diagnostic read BEFORE running iterative algorithms on it (a
+    power-law tail says salt the supersteps; a bounded degree says
+    don't bother). Two keyed aggregates, histogram-sized output."""
+    deg = (
+        _user_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+    return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -1032,3 +1032,52 @@ def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dv") / 100, 6).alias("decayed_cents"),
         )
     )
+
+
+@register(
+    "q_concurrency",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events
+    ),
+    run AS (
+        SELECT event_type, t, delta,
+               sum(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM pts
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type
+    """,
+    tags=("temporal",),
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type with each event live for 5
+    minutes: the sweep-line classic — +1/−1 boundary points, running
+    sum in boundary order, max. The (t, delta) sort puts an expiry at
+    the same instant BEFORE the arrival (delta −1 < +1), so touching
+    intervals don't double-count — that tie rule is what makes the
+    result well-defined and cross-engine identical. One exchange on
+    event_type; the running sum buffers one row."""
+    ev = T(spark, sf_dir, "events")
+    t_us = TP._us("ts")
+    pts = ev.select(
+        "event_type", t_us.alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type", (t_us + 300_000_000).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("peak_concurrency"))
+    )
