@@ -1081,3 +1081,52 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("live").cast("long").alias("peak_concurrency"))
     )
+
+
+@register(
+    "q_event_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           min(ts) AS first_match_ts
+    FROM seq
+    WHERE event_type = 'click' AND e2 = 'view' AND e3 = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("temporal", "window"),
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence pattern matching (MATCH_RECOGNIZE-lite): users
+    whose stream contains click→view→purchase as CONSECUTIVE events —
+    stricter than the funnel's eventually-ordered semantics. Two lead()
+    offsets in one window pass; one exchange on user_id; the pattern
+    predicate is pure codegen. Longer patterns extend with more leads;
+    regex-over-events compiles to exactly this shape."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "click")
+            & (F.col("e2") == "view")
+            & (F.col("e3") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )

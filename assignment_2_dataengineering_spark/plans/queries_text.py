@@ -403,3 +403,54 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return apply_bpe_merges(docs, merges)
+
+
+@register(
+    "q_phrase_search",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, t.token, t.p
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                            i -> struct_pack(token := string_split(text, ' ')[i], p := i)))
+                       AS t
+              FROM documents)
+        WHERE t.token IN ('table', 'hash')
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.p) AS INT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+     AND a.token = 'table' AND b.token = 'hash'
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "retrieval"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('table hash') via a POSITIONAL inverted
+    index: posexplode tokens, keep only the phrase's terms (the filter
+    prunes the index to |hits| before any join), adjacency self-join on
+    (doc, position+1). The IR primitive BM25 can't give you — term
+    order — at index-lookup cost instead of a full-corpus regex scan:
+    at 100 TB the positional index is the persisted artifact
+    (operators/index.py's story) and this query touches only two
+    postings lists."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+    pos = toks.filter(F.col("token").isin("table", "hash"))
+    a = pos.filter(F.col("token") == "table").alias("a")
+    b = pos.filter(F.col("token") == "hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col("a.p")).cast("int").alias("first_pos"),
+        )
+    )
