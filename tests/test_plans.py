@@ -207,3 +207,56 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
     broadcast — the corpus-sized side never shuffles for membership."""
     plan = _physical(spark, "q_vocab_oov", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _exchanges(plan: str) -> int:
+    """Data (shuffle) exchanges only — broadcasts excluded (formatted
+    mode names nodes '(n) Exchange' / '(n) BroadcastExchange')."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_attribution_single_exchange_serves_both_windows(spark, sf_dir):
+    """q_attribution: first- AND last-touch windows share one hash
+    exchange on user_id (SCALE.md §6c)."""
+    plan = _physical(spark, "q_attribution", sf_dir)
+    assert _exchanges(plan) == 1, plan
+
+
+def test_kanonymity_is_one_aggregate(spark, sf_dir):
+    plan = _physical(spark, "q_kanonymity", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    # partial aggregate before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_audio_vad_groupby_reuses_window_partitioning(spark, sf_dir):
+    """frames → islands window → segment agg: ONE doc_id exchange total;
+    the groupBy must reuse the window's partitioning (SCALE.md §6c)."""
+    plan = _physical(spark, "q_audio_vad", sf_dir)
+    assert _exchanges(plan) == 1, plan
+
+
+def test_event_pattern_one_window_pass(spark, sf_dir):
+    plan = _physical(spark, "q_event_pattern", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1  # both leads in one node
+
+
+def test_concurrency_sweep_line_one_exchange(spark, sf_dir):
+    plan = _physical(spark, "q_concurrency", sf_dir)
+    assert _exchanges(plan) == 1, plan
+
+
+def test_bpe_encode_is_scan_speed(spark, sf_dir):
+    """Encoding with learned merges is pure per-row codegen — zero
+    shuffle exchanges in the encode plan."""
+    plan = _physical(spark, "q_bpe_encode", sf_dir)
+    assert _exchanges(plan) == 0, plan
+
+
+def test_phrase_search_prunes_index_before_join(spark, sf_dir):
+    """The term filter must sit below the adjacency join: the joined
+    relations are |hits|-sized postings, not the full token index."""
+    plan = _physical(spark, "q_phrase_search", sf_dir)
+    # the token IN-filter appears under both join inputs
+    assert len(re.findall(r"token#\d+ IN \(table,hash\)|token#\d+ = table|token#\d+ = hash", plan)) >= 2, plan
