@@ -1750,3 +1750,39 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals_c))
         .select("join_rows", "left_rows", "right_rows", "max_key_contribution")
     )
+
+
+@register(
+    "q_ldiversity",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT user_id) < 3
+    """,
+    tags=("governance",),
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — k-anonymity's necessary complement: a
+    class can be large (k-anonymous) yet expose its members if the
+    SENSITIVE attribute (here the acting user) takes too few distinct
+    values inside it. Quasi-identifiers (event_type, day, hour) — the
+    hour makes classes fine enough that ~45% fail at this corpus size,
+    so the audit returns a real worklist. One hash aggregate with a
+    distinct count; output is only the failing classes."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("l_distinct"),
+            F.count(F.lit(1)).alias("class_size"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )

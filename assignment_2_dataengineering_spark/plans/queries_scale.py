@@ -565,3 +565,88 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         v_old, v_new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+@register(
+    "q_bitemporal_asof",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+               TIMESTAMP '2021-06-01' AS ts
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, TIMESTAMP '2021-06-01'
+        FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, TIMESTAMP '2021-06-01'
+        FROM customer WHERE c_custkey < 3
+    ),
+    changed AS (
+        SELECT t.c_custkey, u.c_acctbal AS new_bal, u.ts
+        FROM target t JOIN upd u USING (c_custkey)
+        WHERE t.c_acctbal IS DISTINCT FROM u.c_acctbal
+    ),
+    scd2 AS (
+        SELECT t.c_custkey, t.c_acctbal, t.valid_from, ch.ts AS valid_to
+        FROM target t JOIN changed ch USING (c_custkey)
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE t.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c_custkey, new_bal, ts, CAST(NULL AS TIMESTAMP) FROM changed
+        UNION ALL
+        SELECT u.c_custkey, u.c_acctbal, u.ts, CAST(NULL AS TIMESTAMP)
+        FROM upd u
+        WHERE u.c_custkey NOT IN (SELECT c_custkey FROM target)
+    )
+    SELECT c_custkey, c_acctbal, valid_from
+    FROM scd2
+    WHERE valid_from <= TIMESTAMP '2021-01-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2021-01-01')
+    """,
+    tags=("scale", "temporal"),
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read over the SCD2 history (q_scd2's merge output):
+    'what did the customer dimension look like on 2021-01-01?' — the
+    half-open validity predicate valid_from ≤ t < valid_to (open
+    current rows qualify via NULL). A pure filter over the versioned
+    table: at 100 TB, partition the history by valid_from date and the
+    as-of scan prunes to the qualifying partitions."""
+    from ..operators.relational import scd2_merge
+
+    c = T(spark, sf_dir, "customer")
+    ts = F.lit("2021-06-01").cast("timestamp")
+    target = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"), ts.alias("ts"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 3 != 0))
+            .select("c_custkey", "c_acctbal", ts.alias("ts"))
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") < 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                ts.alias("ts"),
+            )
+        )
+    )
+    hist = scd2_merge(target, updates, keys=["c_custkey"], attrs=["c_acctbal"], ts_col="ts")
+    asof = F.lit("2021-01-01").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("c_custkey", "c_acctbal", "valid_from")
