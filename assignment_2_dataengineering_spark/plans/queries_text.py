@@ -454,3 +454,86 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("a.p")).cast("int").alias("first_pos"),
         )
     )
+
+
+@register(
+    "q_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.w, t.p FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                          i -> struct_pack(w := string_split(text, ' ')[i], p := i))) AS t
+            FROM documents)
+    ),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM toks),
+    bg AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT sum(c12) AS bt FROM bg)
+    SELECT w1 || ' ' || w2 AS bigram,
+           CAST(c12 AS BIGINT) AS c12,
+           round((c12 / CAST(bt AS DOUBLE))
+                 / ((u1.c / CAST(t AS DOUBLE)) * (u2.c / CAST(t AS DOUBLE))), 4)
+             AS lift
+    FROM bg JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, tot, btot
+    WHERE c12 >= 5
+    ORDER BY lift DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("text", "stats"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI expressed as a LIFT ratio
+    P(w1w2)/(P(w1)P(w2)) — the log is monotone, so ranking by the ratio
+    IS ranking by PMI while staying in exactly-reproducible
+    integer-division arithmetic (libm log would drift in the last ulp
+    across engines). Bigram counts from a positional self-join on
+    (doc, p+1); unigram tables broadcast back; TakeOrdered cuts the
+    top-20 without a global sort. The phrase-mining primitive behind
+    tokenizer-vocabulary seeding."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    btot = bg.agg(F.sum("c12").alias("bt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = F.round(
+        (F.col("c12") / F.col("bt").cast("double"))
+        / (
+            (F.col("c1") / F.col("t").cast("double"))
+            * (F.col("c2") / F.col("t").cast("double"))
+        ),
+        4,
+    )
+    return (
+        bg.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").cast("long").alias("c12"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
