@@ -1,6 +1,7 @@
 """Text-analysis + deduplication queries over the `documents` table —
 the training-data-pipeline extensions (language ID, quality scoring,
-token counting, fingerprinting, four text-dedup modalities).
+token counting, fingerprinting, and the text-dedup modalities: exact,
+n-gram Jaccard, shingle containment, MinHash-LSH, SimHash).
 
 Oracles mirror every Catalyst expression in DuckDB SQL; the two
 randomized-banding operators (MinHash-LSH, SimHash) are verified
