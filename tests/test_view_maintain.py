@@ -63,3 +63,58 @@ def test_duplicate_keys_multiply_identically(spark):
     want = a_old.unionByName(da).join(b_old.unionByName(db), "k")
     assert got.count() == 4
     _assert_same_rows(got, want)
+
+
+def test_streaming_foreachbatch_maintains_join_view(spark, tmp_path_factory):
+    """Fact deltas arrive as micro-batches; each batch appends
+    ΔA ⋈ dim to the stored view (static dim ⇒ the other delta terms
+    vanish). After the stream drains, the accumulated view equals the
+    one-shot join."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("jv_stream")
+    rows1 = [(k, f"o{k}") for k in range(6)]
+    rows2 = [(k, f"p{k}") for k in range(3, 9)]
+    spark.createDataFrame(rows1, "k long, payload string").coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(rows2, "k long, payload string").coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    src = d / "src"
+    src.mkdir()
+    n = 0
+    for sub in ("b1", "b2"):
+        for f in sorted((d / sub).glob("*.parquet")):
+            shutil.copy(f, src / f"{n:03d}.parquet")
+            n += 1
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 8, 2)], "k long, attr string"
+    )
+    out_dir = str(d / "view")
+
+    def apply_batch(da, batch_id):
+        delta = join_view_delta(da.sparkSession.createDataFrame([], da.schema), dim, da, None, ["k"])
+        if delta is not None:
+            delta.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("k long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(d / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir)
+    want = (
+        spark.createDataFrame(rows1 + rows2, "k long, payload string").join(dim, "k")
+    )
+    _assert_same_rows(got.select("k", "payload", "attr"), want.select("k", "payload", "attr"))
