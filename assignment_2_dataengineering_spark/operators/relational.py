@@ -350,3 +350,40 @@ def salted_collect_set(
             "items"
         )
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+) -> DataFrame:
+    """2-D skyline (Pareto-optimal set): rows not dominated by any
+    other row, where `a` dominates `b` iff a.x ≤ b.x AND a.y ≥ b.y
+    with at least one strict (for the minimize-x / maximize-y
+    orientation; flips handled by sign). Duplicates on both dims
+    survive together (no strict edge).
+
+    Plan: per-x-group max y (one keyed aggregate), a strict-prefix
+    running max over the DISTINCT-x table (ROWS .. 1 PRECEDING on the
+    x ordering — a RANGE -1 frame would be a VALUE offset on numeric
+    x, silently wrong for non-integer gaps), broadcast back, then a
+    codegen filter. A row survives iff its y tops its own x group AND
+    beats every strictly-cheaper group's max. NO pairwise join: the
+    NOT EXISTS dominance definition the oracle uses is O(n²); this is
+    one aggregate plus a distinct-x-sized window. That window is the
+    single-partition caveat — at 100 TB, range-bucket x and broadcast
+    per-bucket prefix maxima first (the global_shuffle_rank two-phase
+    pattern), same algebra."""
+    sx = 1 if minimize_x else -1
+    sy = 1 if maximize_y else -1
+    d = df.withColumn("__x", F.col(x_col) * sx).withColumn("__y", F.col(y_col) * sy)
+    grp = d.groupBy("__x").agg(F.max("__y").alias("__grp_max"))
+    w_pfx = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    grp = grp.withColumn("__pfx_max", F.max("__grp_max").over(w_pfx))
+    out = d.join(F.broadcast(grp), "__x").filter(
+        (F.col("__y") == F.col("__grp_max"))
+        & (F.col("__pfx_max").isNull() | (F.col("__y") > F.col("__pfx_max")))
+    )
+    return out.drop("__x", "__y", "__grp_max", "__pfx_max")

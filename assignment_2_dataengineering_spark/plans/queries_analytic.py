@@ -1786,3 +1786,43 @@ def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS part_id,
+               min(l_extendedprice / l_quantity) AS unit_cost,
+               CAST(sum(l_quantity) AS BIGINT) AS avail
+        FROM lineitem GROUP BY 1
+    )
+    SELECT part_id, round(unit_cost, 6) AS unit_cost, avail
+    FROM ps a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ps b
+        WHERE b.unit_cost <= a.unit_cost AND b.avail >= a.avail
+          AND (b.unit_cost < a.unit_cost OR b.avail > a.avail)
+    )
+    """,
+    tags=("preference", "window"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts by (minimize unit cost, maximize
+    availability): the preference-query operator (Börzsönyi et al.
+    2001's SKYLINE OF) Spark has no primitive for. The engine computes
+    it with two window passes and a filter — O(n log n) — while the
+    oracle uses the textbook O(n²) NOT-EXISTS dominance definition:
+    matching them is an algebraic equivalence check, not a
+    transliteration (operators/relational.skyline2d documents the
+    range-bucketed two-phase form for frontier domains too big for one
+    ordering pass)."""
+    from ..operators.relational import skyline2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        F.sum("l_quantity").cast("long").alias("avail"),
+    )
+    sky = skyline2d(ps, "unit_cost", "avail", minimize_x=True, maximize_y=True)
+    return sky.select("part_id", F.round("unit_cost", 6).alias("unit_cost"), "avail")

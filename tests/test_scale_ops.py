@@ -386,3 +386,27 @@ def test_snapshot_diff_roundtrip_and_delta_sized(spark, sf_dir):
         .count()
     )
     assert unchanged_in_diff == 0
+
+
+def test_skyline2d_hand_cases(spark):
+    from assignment_2_dataengineering_spark.operators.relational import skyline2d
+
+    rows = [
+        (1, 1.0, 10),  # frontier (cheapest)
+        (2, 2.0, 20),  # frontier (more avail, pricier)
+        (3, 2.0, 15),  # dominated by 2 (same cost, less avail)
+        (4, 3.0, 20),  # dominated by 2 (pricier, same avail)
+        (5, 1.5, 5),   # dominated by 1
+        (6, 2.0, 20),  # duplicate of 2 -> both survive (no strict edge)
+        (7, 4.0, 30),  # frontier (max avail)
+    ]
+    df = spark.createDataFrame(rows, "id long, cost double, avail long")
+    got = {r.id for r in skyline2d(df, "cost", "avail").collect()}
+    assert got == {1, 2, 6, 7}
+    # orientation flip: maximize cost, minimize avail -> mirrored frontier
+    # (5 dominates 1 now; 3 beats 2/6 on avail at equal cost)
+    flipped = {
+        r.id
+        for r in skyline2d(df, "cost", "avail", minimize_x=False, maximize_y=False).collect()
+    }
+    assert flipped == {3, 4, 5, 7}
