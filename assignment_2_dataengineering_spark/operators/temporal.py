@@ -35,10 +35,14 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts ≤ left_ts per key (backward as-of, inclusive — DuckDB /
-    pandas.merge_asof semantics).
+    pandas.merge_asof semantics); direction="forward" attaches the
+    EARLIEST right row with right_ts ≥ left_ts instead (time-to-next
+    -event analysis), by running the same carry pass in descending
+    time order.
 
     Plan shape — the 100 TB-safe one: UNION the two sides tagged, one
     shuffle on the key, one ordered window pass carrying each right
@@ -73,8 +77,10 @@ def asof_join(
 
     unioned = l_tag.unionByName(r_tag)
     # right rows (side 0) sort before left rows (side 1) at equal ts →
-    # an exactly-simultaneous right row is visible to the left row
-    w = Window.partitionBy(*on).orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+    # an exactly-simultaneous right row is visible to the left row;
+    # forward direction = the same carry in reverse time order
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = Window.partitionBy(*on).orderBy(t_order, F.col("__side").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     carried = unioned.select(

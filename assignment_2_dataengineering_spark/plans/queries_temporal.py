@@ -1130,3 +1130,47 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_match_ts"),
         )
     )
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'error'),
+         p AS (SELECT user_id, ts, round(max(value), 2) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT e.user_id, e.event_id, e.ts,
+           p.purchase_value AS next_purchase_value,
+           p.ts             AS next_purchase_ts
+    FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    tags=("join", "temporal"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each error attributed to the same user's
+    next purchase at-or-after it — time-to-recovery / time-to-convert
+    analysis. Same union+carry plan as the backward form run in
+    descending time order (operators/temporal.asof_join
+    direction='forward'); DuckDB's native forward ASOF (l.ts <= r.ts)
+    is the oracle. Purchases pre-aggregated per (user, ts) for
+    deterministic ties."""
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = TP.asof_join(
+        errors, purchases, ["user_id"], right_cols=["purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("purchase_value_right").alias("next_purchase_value"),
+        F.col("ts_right").alias("next_purchase_ts"),
+    )
