@@ -78,11 +78,16 @@ def learn_bpe_merges(
         toks = cur.select(
             F.explode(F.array(F.split(F.trim("seq"), "  "))).alias("__t"), "cnt"
         )
+        # CASE guard: a fully-merged 1-symbol word makes sequence(1, 0)
+        # — which Spark evaluates DESCENDING to [1, 0], so element_at
+        # hits index 0 and ANSI mode throws. Emit no pairs instead.
         pairs = toks.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(__t) - 1),"
+                    "CASE WHEN size(__t) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(__t) - 1),"
                     " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+                    " END"
                 )
             ).alias("pair"),
             "cnt",

@@ -123,3 +123,19 @@ def test_bfs_hops_min_distance_and_bound(spark):
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
     got3 = {r.node: r.hops for r in bfs_hops(e, seeds, max_hops=3).collect()}
     assert got3["e"] == 3
+
+
+def test_empty_edges_all_algorithms(spark):
+    from assignment_2_dataengineering_spark.operators.graph import (
+        bfs_hops,
+        label_propagation,
+        pagerank,
+    )
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iterations=2).count() == 0
+    assert label_propagation(e, iterations=2).count() == 0
+    seeds = spark.createDataFrame([("a",)], "node string")
+    # seeds with no edges: the seed itself at hop 0, nothing else
+    got = {(r.node, r.hops) for r in bfs_hops(e, seeds, max_hops=2).collect()}
+    assert got == {("a", 0)}

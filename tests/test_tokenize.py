@@ -117,3 +117,12 @@ def test_encode_matches_python_reference_and_compresses(spark):
     # encoding with merges strictly compresses vs no merges
     none = {r.doc_id: r.n_tokens for r in apply_bpe_merges(df, []).collect()}
     assert all(got[i] < none[i] for i in got)
+
+
+def test_learn_on_empty_and_tiny_corpus(spark):
+    empty = spark.createDataFrame([], "text string")
+    assert learn_bpe_merges(empty, num_merges=3).count() == 0
+    # single 1-char word: only pair is (char, EOW); later rounds run dry
+    one = spark.createDataFrame([("x",)], "text string")
+    rows = learn_bpe_merges(one, num_merges=4).orderBy("merge_rank").collect()
+    assert [r.pair for r in rows] == ["x </w>"]
