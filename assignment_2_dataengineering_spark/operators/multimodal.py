@@ -245,6 +245,55 @@ def vad_segments(
     )
 
 
+def patchify(media: DataFrame, tile_w: int = 4, tile_h: int = 2) -> DataFrame:
+    """ViT-style image patching: slice each (width × height)-byte image
+    into non-overlapping tile_w × tile_h patches, one output row per
+    patch — (doc_id, patch_x, patch_y, patch) with patch bytes in
+    row-major order. The training-data step between raw images and a
+    vision-transformer tokenizer.
+
+    Pure Catalyst: a 2-D posexplode (sequence × sequence) over patch
+    coordinates, each patch assembled by concatenating tile_h binary
+    substrings of the RESIZED payload (resize_images normalizes every
+    image to its metadata geometry first, so the grid is exact).
+    Payload bytes are sliced in the scan stage and never enter a
+    shuffle; images whose geometry doesn't divide evenly simply emit
+    the floor(w/tile_w)·floor(h/tile_h) full patches."""
+    resized = resize_images(media).select(
+        "doc_id",
+        F.col("resized").alias("img"),
+        F.col("media.width").alias("w"),
+        F.col("media.height").alias("h"),
+    )
+    grid = resized.select(
+        "doc_id",
+        "img",
+        "w",
+        F.explode(
+            F.expr(f"sequence(0, CAST(w / {tile_w} AS INT) - 1)")
+        ).alias("patch_x"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "img",
+        "w",
+        "patch_x",
+        F.explode(
+            F.expr(f"sequence(0, CAST(h / {tile_h} AS INT) - 1)")
+        ).alias("patch_y"),
+    )
+    rows = F.expr(
+        f"transform(sequence(0, {tile_h} - 1),"
+        f" r -> substring(img, patch_y * {tile_h} * w + r * w + patch_x * {tile_w} + 1, {tile_w}))"
+    )
+    return grid.select(
+        "doc_id",
+        "patch_x",
+        "patch_y",
+        F.aggregate(rows, F.lit(b""), lambda acc, x: F.concat(acc, x)).alias("patch"),
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def _decimate8(payload: pd.Series, factor: pd.Series) -> pd.Series:
     """Keep every `factor`-th PCM-u8 sample (numpy stride slice over the

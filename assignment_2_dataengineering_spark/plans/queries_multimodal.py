@@ -218,3 +218,40 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resampled_len").cast("int").alias("n_out"),
         F.decode("resampled", "UTF-8").alias("resampled_text"),
     )
+
+
+@register(
+    "q_media_patchify",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(doc_id % 8 + 8 AS INT) AS w,
+               CAST(doc_id % 4 + 4 AS INT) AS h
+        FROM documents
+    ),
+    px AS (SELECT *, unnest(range(0, w // 4)) AS patch_x FROM geo),
+    grid AS (SELECT *, unnest(range(0, h // 2)) AS patch_y FROM px)
+    SELECT doc_id, CAST(patch_x AS INT) AS patch_x,
+           CAST(patch_y AS INT) AS patch_y,
+           array_to_string(list_transform(range(0, 8),
+               k -> substr(text,
+                    CAST(((patch_y * 2 + k // 4) * w + patch_x * 4 + (k % 4)) % n AS INT) + 1,
+                    1)), '') AS patch_text
+    FROM grid
+    """,
+    tags=("multimodal",),
+)
+def q_media_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction (operators.multimodal.patchify):
+    resize-normalized images sliced into 4×2 patches, one row per
+    patch, assembled JVM-side from binary substrings — no Python in
+    the loop, payload never shuffles. The oracle recomputes every
+    patch byte from codepoints through the same cycle-resize
+    indexing; patch bytes decode to text only for comparability."""
+    patches = MM.patchify(_media(spark, sf_dir), tile_w=4, tile_h=2)
+    return patches.select(
+        "doc_id",
+        "patch_x",
+        "patch_y",
+        F.decode("patch", "UTF-8").alias("patch_text"),
+    )

@@ -188,3 +188,29 @@ def test_vad_segments_gaps_and_islands(spark):
         for r in MM.vad_segments(df, threshold_sq=14_400).collect()
     }
     assert segs == {(1, 0, 2): (3, 49400), (1, 5, 5): (1, 99999)}
+
+
+def test_patchify_geometry_and_content(spark):
+    # 1 image: 8×4 bytes, value = row-major position 0..31
+    payload = bytes(range(32))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(8).alias("frame_bytes"),
+            F.lit(16_000).alias("sample_rate_hz"),
+        ).alias("media"),
+    )
+    got = {
+        (r.patch_x, r.patch_y): bytes(r.patch)
+        for r in MM.patchify(df, tile_w=4, tile_h=2).collect()
+    }
+    # 8/4 × 4/2 = 2×2 patches; patch (0,0) = rows 0-1, cols 0-3
+    assert got[(0, 0)] == bytes([0, 1, 2, 3, 8, 9, 10, 11])
+    assert got[(1, 0)] == bytes([4, 5, 6, 7, 12, 13, 14, 15])
+    assert got[(0, 1)] == bytes([16, 17, 18, 19, 24, 25, 26, 27])
+    assert got[(1, 1)] == bytes([20, 21, 22, 23, 28, 29, 30, 31])
