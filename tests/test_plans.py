@@ -260,3 +260,27 @@ def test_phrase_search_prunes_index_before_join(spark, sf_dir):
     plan = _physical(spark, "q_phrase_search", sf_dir)
     # the token IN-filter appears under both join inputs
     assert len(re.findall(r"token#\d+ IN \(table,hash\)|token#\d+ = table|token#\d+ = hash", plan)) >= 2, plan
+
+
+def test_decay_agg_one_exchange_plus_broadcast_anchor(spark, sf_dir):
+    plan = _physical(spark, "q_decay_agg", sf_dir)
+    assert _exchanges(plan) <= 2, plan  # anchor agg + user agg
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_is_one_join(spark, sf_dir):
+    plan = _physical(spark, "q_snapshot_diff", sf_dir)
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)\b", plan)) == 1, plan
+
+
+def test_matryoshka_broadcasts_query_side(spark, sf_dir):
+    plan = _physical(spark, "q_matryoshka", sf_dir)
+    # every truncation tier broadcasts the 5-vector query side
+    assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
+
+
+def test_skyline_has_no_pairwise_join(spark, sf_dir):
+    """The O(n log n) claim: no join between full-size relations — only
+    the broadcast of the distinct-x frontier table."""
+    plan = _physical(spark, "q_skyline", sf_dir)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin\b", plan)) == 0, plan
