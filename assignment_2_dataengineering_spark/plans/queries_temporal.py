@@ -1174,3 +1174,67 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_value_right").alias("next_purchase_value"),
         F.col("ts_right").alias("next_purchase_ts"),
     )
+
+
+@register(
+    "q_watermark_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type,
+               epoch_us(ts) AS t,
+               max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY event_id + (event_id * 37) % 7,
+                                                event_id
+                                       ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN high_water - t > 300000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS late_5m,
+           round(sum(CASE WHEN high_water - t > 900000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS late_15m,
+           round(sum(CASE WHEN high_water - t > 1800000000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS late_30m
+    FROM arr GROUP BY event_type
+    """,
+    tags=("temporal", "streaming"),
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay tuning audit: how many events would arrive
+    LATER than a 5/15/30-minute watermark (event-time high-water minus
+    own timestamp)? The number that chooses `withWatermark`'s delay
+    before any stream runs — too small drops data, too large bloats
+    state (streaming/windows.py). The fixture's event_id is perfectly
+    time-ordered (zero lateness, a degenerate audit), so arrival order
+    is simulated with a deterministic local jitter of 0-6 positions
+    (event_id + 37·event_id mod 7) — yielding ~11%/3%/0.3% late at the
+    three delays. One running-max window per event_type and one
+    aggregate on the same partitioning; all three candidate delays
+    measured in a single pass. Fractions divide exact integer
+    counts."""
+    ev = T(spark, sf_dir, "events")
+    t_us = TP._us("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(
+            F.col("event_id") + (F.col("event_id") * 37) % 7, F.col("event_id")
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = ev.select(
+        "event_type",
+        t_us.alias("t"),
+        F.max(t_us).over(w).alias("high_water"),
+    )
+    late = lambda us: F.round(
+        F.sum(F.when(F.col("high_water") - F.col("t") > us, 1).otherwise(0))
+        / F.count(F.lit(1)),
+        6,
+    )
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        late(300_000_000).alias("late_5m"),
+        late(900_000_000).alias("late_15m"),
+        late(1_800_000_000).alias("late_30m"),
+    )
