@@ -1271,3 +1271,89 @@ def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .drop("__rn")
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_toks,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    lang_p AS (
+        SELECT sum((c * 1.0 / n) * (c * 1.0 / n)) AS sum_p2 FROM (
+            SELECT lang, count(*) AS c,
+                   (SELECT count(*) FROM base) AS n
+            FROM base GROUP BY lang)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS exact_dup_rate,
+           round((SELECT 1.0 - sum_p2 FROM lang_p), 6) AS lang_diversity,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS en_share
+    FROM base
+    """,
+    tags=("corpus", "governance"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary a training-data release
+    ships: corpus size, source count, token budget, median document
+    length, exact-duplicate rate (1 − distinct fingerprints / docs),
+    language diversity as the Gini–Simpson index 1 − Σp² (the
+    entropy-family metric that needs no log, so it is exact in
+    integer-derived arithmetic), and English share. ONE aggregate pass
+    over the corpus plus a 5-row language histogram — every number a
+    release gate checks, computed at scan cost."""
+    from ..functions.text import fingerprint, token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        token_count_ws(F.col("text")).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    n_df = base.agg(F.count(F.lit(1)).alias("n"))
+    lang_p = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_df))
+        .agg(
+            F.sum((F.col("c") / F.col("n")) * (F.col("c") / F.col("n"))).alias(
+                "sum_p2"
+            )
+        )
+    )
+    return (
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.median("n_chars").cast("double").alias("median_chars"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("en_share"),
+        )
+        .crossJoin(F.broadcast(lang_p))
+        .select(
+            "n_docs",
+            "n_sources",
+            "total_tokens",
+            "median_chars",
+            "exact_dup_rate",
+            F.round(1.0 - F.col("sum_p2"), 6).alias("lang_diversity"),
+            "en_share",
+        )
+    )
