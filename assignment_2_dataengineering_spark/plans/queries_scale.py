@@ -650,3 +650,94 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= asof)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
     ).select("c_custkey", "c_acctbal", "valid_from")
+
+
+@register(
+    "q_scd2_lookup",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+               TIMESTAMP '2021-06-01' AS ts
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    changed AS (
+        SELECT t.c_custkey, u.c_acctbal AS new_bal, u.ts
+        FROM target t JOIN upd u USING (c_custkey)
+        WHERE t.c_acctbal IS DISTINCT FROM u.c_acctbal
+    ),
+    hist AS (
+        SELECT t.c_custkey, t.c_acctbal, t.valid_from, ch.ts AS valid_to
+        FROM target t JOIN changed ch USING (c_custkey)
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE t.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c_custkey, new_bal, ts, CAST(NULL AS TIMESTAMP) FROM changed
+    ),
+    probes AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN TIMESTAMP '2020-07-01'
+                    ELSE TIMESTAMP '2022-01-01' END AS event_ts
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT p.o_orderkey, p.o_custkey, p.event_ts, h.c_acctbal AS bal_at_event
+    FROM probes p LEFT JOIN hist h
+      ON p.o_custkey = h.c_custkey
+     AND h.valid_from <= p.event_ts
+     AND (h.valid_to IS NULL OR h.valid_to > p.event_ts)
+    """,
+    tags=("scale", "temporal", "join"),
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time dimension lookup: each order probe joined to the
+    customer-history VERSION valid at its event timestamp — the join
+    that makes reprocessed facts reproduce historical enrichment
+    instead of leaking today's attributes backward (the latest-value
+    join's silent correctness bug). Half of the probes predate the
+    2021-06-01 balance change and must see the OLD balance. The
+    version predicate is an equi-join on the key plus the half-open
+    validity filter — with few versions per key the fan-out is
+    bounded by version count, and a valid_from-partitioned history
+    prunes by the probe's time range."""
+    from ..operators.relational import scd2_merge
+
+    c = T(spark, sf_dir, "customer")
+    ts = F.lit("2021-06-01").cast("timestamp")
+    target = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"), ts.alias("ts")
+    )
+    hist = scd2_merge(target, updates, keys=["c_custkey"], attrs=["c_acctbal"], ts_col="ts")
+    probes = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.lit("2020-07-01").cast("timestamp")
+            )
+            .otherwise(F.lit("2022-01-01").cast("timestamp"))
+            .alias("event_ts"),
+        )
+    )
+    return probes.join(
+        hist,
+        (probes["o_custkey"] == hist["c_custkey"])
+        & (hist["valid_from"] <= probes["event_ts"])
+        & (hist["valid_to"].isNull() | (hist["valid_to"] > probes["event_ts"])),
+        "left",
+    ).select(
+        "o_orderkey", "o_custkey", "event_ts", F.col("c_acctbal").alias("bal_at_event")
+    )
