@@ -1357,3 +1357,51 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_share",
         )
     )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+    WITH src AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(toks) AS all_toks FROM src)
+    SELECT source, toks,
+           CAST(100000 / (SELECT count(*) FROM src) AS BIGINT) AS target_toks,
+           round(least(1.0, (100000.0 / (SELECT count(*) FROM src)) / toks), 6)
+             AS sample_rate,
+           round(toks * 1.0 / (SELECT all_toks FROM tot), 6) AS natural_share
+    FROM src
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning for a 100k-token training budget split equally
+    across sources: per source, its natural token count and share, the
+    equal-allocation target, and the sampling rate (capped at 1 — an
+    under-resourced source can't be sampled above itself; the standard
+    fix is the upsampling tier, q_upsample). The numbers a data-mixing
+    config is derived from; two tiny aggregates, histogram-sized
+    output. Rates divide exact integer token counts."""
+    from ..functions.text import token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("toks")
+    )
+    stats = src.agg(
+        F.sum("toks").alias("all_toks"), F.count(F.lit(1)).alias("n_src")
+    )
+    return (
+        src.crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            "toks",
+            (F.lit(100000) / F.col("n_src")).cast("long").alias("target_toks"),
+            F.round(
+                F.least(F.lit(1.0), (100000.0 / F.col("n_src")) / F.col("toks")), 6
+            ).alias("sample_rate"),
+            F.round(F.col("toks") / F.col("all_toks"), 6).alias("natural_share"),
+        )
+    )
