@@ -390,3 +390,42 @@ def test_apply_changelog_matches_dict_fold_model(spark, snap, chg):
     out = REL.apply_changelog(snap_df, chg_df, keys=["k"], order=["seq"])
     got = {r.k: r.v for r in out.collect()}
     assert got == model
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    """skyline2d ≡ the O(n²) dominance definition on random point sets
+    with heavy tie/duplicate pressure (coords drawn from 0..6)."""
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = {r.id for r in REL.skyline2d(df, "x", "y").collect()}
+
+    def dominated(a, b):  # b dominates a (minimize x, maximize y)
+        return b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+
+    want = {a[0] for a in rows if not any(dominated(a, b) for b in rows)}
+    assert got == want
+
+
+@given(docs=st.lists(texts, min_size=1, max_size=15), n=st.integers(1, 5))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_matches_reference_on_random_corpora(spark, docs, n):
+    """learn_bpe_merges ≡ the pure-Python Sennrich reference for random
+    corpora (tie-heavy by construction: 8-word vocabulary)."""
+    from assignment_2_dataengineering_spark.operators.tokenize import learn_bpe_merges
+    from tests.test_tokenize import _reference_bpe
+
+    non_empty = [d for d in docs if d.strip()]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [
+        (r.merge_rank, r.pair, r.pair_count, r.merged)
+        for r in learn_bpe_merges(df, num_merges=n).orderBy("merge_rank").collect()
+    ]
+    want = _reference_bpe(non_empty, n) if non_empty else []
+    assert got == want[: len(got)] and len(got) == len(want)
