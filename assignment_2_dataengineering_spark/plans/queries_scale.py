@@ -741,3 +741,31 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "o_custkey", "event_ts", F.col("c_acctbal").alias("bal_at_event")
     )
+
+
+@register(
+    "q_exact_quantile",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    n AS (SELECT count(*) AS n FROM s)
+    SELECT v AS p95_cents FROM s, n
+    ORDER BY v
+    LIMIT 1 OFFSET (SELECT CAST(ceil(0.95 * n) AS BIGINT) - 1 FROM n)
+    """,
+    tags=("scale", "agg"),
+)
+def q_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p95 of lineitem price (integer cents) by three-pass
+    histogram refinement (operators/quantile.py) — the quantile path
+    that stays exact when Spark's `percentile` aggregate's per-group
+    value map won't fit an executor: each pass is one 1024-bucket
+    count aggregate, only the kilobyte histogram reaches the driver,
+    and the range shrinks 1024× per pass. The oracle is the rank
+    definition itself (ORDER BY … OFFSET ceil(q·n)−1)."""
+    from ..operators.quantile import exact_quantile_int
+
+    li = T(spark, sf_dir, "lineitem")
+    p95 = exact_quantile_int(li, F.floor(F.col("l_extendedprice") * 100), 0.95)
+    return spark.createDataFrame([(p95,)], "p95_cents bigint")

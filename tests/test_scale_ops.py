@@ -410,3 +410,24 @@ def test_skyline2d_hand_cases(spark):
         for r in skyline2d(df, "cost", "avail", minimize_x=False, maximize_y=False).collect()
     }
     assert flipped == {3, 4, 5, 7}
+
+
+def test_exact_quantile_matches_sorted_rank_definition(spark, sf_dir):
+    import math
+
+    from assignment_2_dataengineering_spark.operators.quantile import exact_quantile_int
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100)
+    vals = sorted(r[0] for r in li.select(cents.cast("long")).collect())
+    for q in (0.01, 0.5, 0.95, 1.0):
+        got = exact_quantile_int(li, cents, q)
+        want = vals[max(1, math.ceil(q * len(vals))) - 1]
+        assert got == want, (q, got, want)
+    # tiny buckets force many refinement passes; answer unchanged
+    assert exact_quantile_int(li, cents, 0.5, buckets=8) == vals[
+        max(1, math.ceil(0.5 * len(vals))) - 1
+    ]
+    # empty input
+    assert exact_quantile_int(li.filter(F.lit(False)), cents, 0.5) is None
