@@ -1826,3 +1826,46 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sky = skyline2d(ps, "unit_cost", "avail", minimize_x=True, maximize_y=True)
     return sky.select("part_id", F.round("unit_cost", 6).alias("unit_cost"), "avail")
+
+
+@register(
+    "q_pseudonymize",
+    oracle="""
+    WITH p AS (
+        SELECT event_type, user_id,
+               substr(sha256('tenant-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+                 AS pseudonym
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+           min(pseudonym) AS sample_pseudonym
+    FROM p GROUP BY event_type
+    """,
+    tags=("governance",),
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization audit: user ids replaced by a salted
+    SHA-256 prefix (deterministic per tenant key, so the SAME user maps
+    to the SAME pseudonym in every table — joins survive; the raw id
+    does not). The per-type distinct-user vs distinct-pseudonym counts
+    prove consistency and collision-freedom at this scale. Pure codegen
+    hashing — pseudonymizing 100 TB is a scan. Key rotation = change
+    the salt literal and rewrite; the audit catches any table that
+    missed the rotation (counts diverge)."""
+    ev = load_table(spark, sf_dir, "events")
+    pseud = F.substring(
+        F.sha2(F.concat(F.lit("tenant-v1:"), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    return (
+        ev.select("event_type", "user_id", pseud.alias("pseudonym"))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("pseudonym").alias("n_pseudonyms"),
+            F.min("pseudonym").alias("sample_pseudonym"),
+        )
+    )
