@@ -1238,3 +1238,53 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         late(900_000_000).alias("late_15m"),
         late(1_800_000_000).alias("late_30m"),
     )
+
+
+@register(
+    "q_twap",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - epoch_us(ts)
+                 AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(sum(cents * dur_us) / CAST(sum(dur_us) AS DOUBLE) / 100, 6)
+             AS twap
+    FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+    tags=("temporal", "agg"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation holds
+    until the next one, weight = holding duration. The metric that
+    makes irregularly-sampled series comparable (a plain mean
+    over-weights chatty periods). Engineered exact: integer cents ×
+    integer microsecond durations summed as LONGS (no float
+    accumulation order anywhere), one double division at the end. One
+    lead() window and one aggregate on the same user partitioning —
+    a single exchange."""
+    ev = T(spark, sf_dir, "events")
+    t_us = TP._us("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(t_us).over(w) - t_us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dur_us"))
+            / F.sum("dur_us").cast("double")
+            / 100,
+            6,
+        ).alias("twap"),
+    )
