@@ -1869,3 +1869,45 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pseudonym").alias("sample_pseudonym"),
         )
     )
+
+
+@register(
+    "q_feature_hash",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(event_type || ':' ||
+                    CAST(json_extract(props, '$.k') AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 64 AS feature_idx
+        FROM events
+    )
+    SELECT user_id, CAST(feature_idx AS INT) AS feature_idx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM f WHERE user_id < 40
+    GROUP BY 1, 2
+    """,
+    tags=("ml", "encoding"),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical (event_type, props.k) pairs
+    mapped into a fixed 64-bucket feature space by an md5-prefix hash —
+    unbounded vocabulary, bounded feature dimension, no dictionary to
+    build, ship, or keep consistent across training runs. Output is the
+    SPARSE per-user bag (user, feature_idx, count): dense vectors
+    materialize only at the trainer's edge. One hash aggregate; the
+    hash is engine-portable (md5 prefix → int, identical in DuckDB) so
+    feature ids are stable across every system that touches the data."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    key = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.get_json_object("props", "$.k").cast("string"),
+    )
+    idx = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 64
+    )
+    return (
+        ev.select("user_id", idx.alias("feature_idx"))
+        .groupBy("user_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
