@@ -1911,3 +1911,93 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "feature_idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 20
+    ),
+    g AS (
+        SELECT event_type, sum(cents) AS s, count(*) AS n FROM base GROUP BY 1
+    )
+    SELECT b.event_id, b.event_type,
+           round((g.s - b.cents) / (CAST(g.n AS DOUBLE) - 1) / 100, 6)
+             AS loo_target_mean
+    FROM base b JOIN g USING (event_type)
+    WHERE g.n > 1
+    """,
+    tags=("ml", "encoding"),
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each event's category replaced by
+    the mean target (value) of its category EXCLUDING itself —
+    (Σ − own)/(n − 1), the formulation that computes all leave-one-out
+    means from ONE category aggregate instead of n re-aggregations,
+    and the exclusion is what stops the encoded feature from leaking
+    its own label. Integer-cent sums; one aggregate + one broadcast
+    join back; singleton categories dropped (undefined mean)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = ev.select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = base.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        base.join(F.broadcast(g), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("s") - F.col("cents")) / (F.col("n").cast("double") - 1) / 100,
+                6,
+            ).alias("loo_target_mean"),
+        )
+    )
+
+
+@register(
+    "q_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               least(9, CAST(floor(
+                   round(len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','it','that','for')))
+                       * 1.0 / greatest(len(string_split(text, ' ')), 1), 4)
+                   * 50) AS INT)) AS score_bin
+        FROM documents
+    )
+    SELECT CAST(score_bin AS INT) AS score_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(y) * 1.0 / count(*), 6) AS observed_rate
+    FROM scored GROUP BY score_bin
+    """,
+    tags=("ml", "eval"),
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the stopword-density English scorer:
+    score binned (×50, capped at bin 9), per-bin observed English rate
+    — the curve that says whether 'score 0.12' MEANS anything before a
+    threshold gates 100 TB on it (q_eval_metrics gives the single
+    operating point; this gives the whole curve). One aggregate over
+    the scan; rates divide exact integer counts."""
+    from ..functions.text import stopword_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    score = F.round(stopword_ratio(F.col("text")), 4)
+    bin_ = F.least(F.lit(9), F.floor(score * 50).cast("int"))
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        d.select(bin_.alias("score_bin"), y.alias("y"))
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("observed_rate"),
+        )
+    )
