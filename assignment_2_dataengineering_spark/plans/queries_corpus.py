@@ -1405,3 +1405,53 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("toks") / F.col("all_toks"), 6).alias("natural_share"),
         )
     )
+
+
+@register(
+    "q_source_cards",
+    oracle="""
+    WITH base AS (
+        SELECT source, lang, n_chars,
+               len(string_split(text, ' ')) AS n_toks,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS exact_dup_rate,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS en_share
+    FROM base GROUP BY source
+    """,
+    tags=("corpus", "governance"),
+)
+def q_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source breakdown of q_dataset_card: size, token budget,
+    median length, exact-dup rate, and English share for EVERY source —
+    the table a mixture decision (q_token_budget_mix) and a source
+    blocklist are both read from. Same single-pass aggregate, grouped;
+    a 100 TB corpus pays one scan for the whole source report."""
+    from ..functions.text import fingerprint, token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        token_count_ws(F.col("text")).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.median("n_chars").cast("double").alias("median_chars"),
+        F.round(1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 6).alias(
+            "exact_dup_rate"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )
