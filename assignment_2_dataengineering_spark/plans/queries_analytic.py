@@ -2001,3 +2001,40 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("observed_rate"),
         )
     )
+
+
+@register(
+    "q_freshness_audit",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events)
+    SELECT event_type,
+           max(CAST(ts AS DATE)) AS latest_day,
+           CAST((SELECT corpus_max FROM mx) - max(CAST(ts AS DATE)) AS BIGINT)
+             AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("observability",),
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: each event type's latest day and its lag
+    behind the corpus high-water mark — the staleness alarm a pipeline
+    checks before trusting a downstream join (a dimension 3 days
+    behind the facts silently under-enriches). One aggregate plus a
+    1-row broadcast anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("latest_day"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "latest_day",
+            F.datediff("corpus_max", "latest_day").cast("long").alias("lag_days"),
+            "n_events",
+        )
+    )
