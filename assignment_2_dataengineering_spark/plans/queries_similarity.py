@@ -453,3 +453,61 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rec if out is None else out.unionByName(rec)
     return out
+
+
+@register(
+    "q_rank_of_truth",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT * FROM embeddings),
+         truth AS (
+           SELECT query_id, match_id AS true_top1 FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rank
+             FROM q JOIN c ON c.vec_id <> q.vec_id
+           ) WHERE rank = 1
+         ),
+         t16 AS (
+           SELECT query_id, match_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {{cos16}} DESC, c.vec_id ASC) AS rank
+             FROM q JOIN c ON c.vec_id <> q.vec_id
+           ) WHERE rank <= {_TOP_K}
+         )
+    SELECT truth.query_id, truth.true_top1,
+           CAST(coalesce(t16.rank, 0) AS INT) AS rank_in_trunc16
+    FROM truth LEFT JOIN t16
+      ON truth.query_id = t16.query_id AND truth.true_top1 = t16.match_id
+    """.replace("{cos16}", _cos_sliced_sql(16)),
+    tags=("similarity", "eval"),
+)
+def q_rank_of_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does the TRUE nearest neighbor land in the 16-dim
+    truncated ranking? (0 = outside the top-10.) The integer-exact
+    companion to q_matryoshka's recall: per-query rank positions
+    instead of set overlap, from which MRR is one reader-side division
+    — keeping the stored metric integer sidesteps cross-engine
+    reciprocal-sum rounding entirely. Same broadcast-query brute-force
+    plans; one extra join of two 5-row tables."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    truth = (
+        SIM.brute_force_topk(queries, emb, k=1)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("match_id").alias("true_top1"))
+    )
+    trunc = lambda df: df.withColumn("embedding", F.slice("embedding", 1, 16))
+    t16 = SIM.brute_force_topk(trunc(queries), trunc(emb), k=_TOP_K).select(
+        F.col("query_id").alias("q2"), "match_id", "rank"
+    )
+    return truth.join(
+        t16,
+        (truth["query_id"] == t16["q2"]) & (truth["true_top1"] == t16["match_id"]),
+        "left",
+    ).select(
+        "query_id",
+        "true_top1",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank_in_trunc16"),
+    )
