@@ -2038,3 +2038,47 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_wilson_rank",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           round(( (k / CAST(n AS DOUBLE)) + 1.9208 / n
+                   - 1.96 * sqrt( (k / CAST(n AS DOUBLE))
+                                  * (1 - k / CAST(n AS DOUBLE)) / n
+                                  + 0.9604 / (CAST(n AS DOUBLE) * n) ) )
+                 / (1 + 3.8416 / n), 6) AS wilson_lb
+    FROM r
+    """,
+    tags=("stats", "ranking"),
+)
+def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower bound on each event type's high-value rate
+    (value > 50) — the rate-ranking statistic that stops a 2-of-2
+    sample from outranking a 900-of-1000 one (plain proportions do
+    exactly that). Every operand is +, ×, ÷, √ on values derived from
+    exact integer counts — all IEEE correctly-rounded operations, so
+    the bound is bit-identical cross-engine WITHOUT the
+    rank-by-monotone-proxy dodge the log-based metrics need
+    (z = 1.96; z² = 3.8416 and z²/2 = 1.9208 pre-folded as exact
+    decimal literals both engines parse identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("k"),
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("k") / n_d
+    lb = (
+        p
+        + 1.9208 / F.col("n")
+        - 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (n_d * n_d))
+    ) / (1 + 3.8416 / F.col("n"))
+    return r.select("event_type", "n", "k", F.round(lb, 6).alias("wilson_lb"))

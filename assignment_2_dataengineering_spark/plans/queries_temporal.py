@@ -1288,3 +1288,71 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "q_windowed_funnel",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(ts) AS pt FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT CAST(c.ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM purchases p
+                 WHERE p.user_id = c.user_id
+                   AND p.pt > c.t AND p.pt <= c.t + 3600000000)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           round(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM purchases p
+                 WHERE p.user_id = c.user_id
+                   AND p.pt > c.t AND p.pt <= c.t + 3600000000)
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conversion_rate
+    FROM clicks c GROUP BY 1
+    """,
+    tags=("temporal", "funnel"),
+)
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: clicks converting to a purchase WITHIN
+    ONE HOUR (the plain funnel counts eventual conversion; product
+    questions are almost always windowed). The engine computes the
+    existence test as a FORWARD as-of join (next purchase per click,
+    operators/temporal.asof_join direction='forward') + a horizon
+    predicate — linear per key, no range join — where the oracle's
+    EXISTS subquery is the quadratic form. Edge semantics: the as-of
+    carries the EARLIEST at-or-after purchase, so a purchase at the
+    exact click microsecond (gap 0) reads as non-converting and masks
+    any later one — a measure-zero event on microsecond timestamps,
+    and the strictly-after contract both sides implement. Conversion
+    rates divide exact counts per day."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("user_id", "ts")
+    )
+    nxt = TP.asof_join(
+        clicks, purchases, ["user_id"], right_cols=[], direction="forward"
+    )
+    gap_us = TP._us(F.col("ts_right")) - TP._us(F.col("ts"))
+    converted = (
+        F.col("ts_right").isNotNull() & (gap_us > 0) & (gap_us <= 3_600_000_000)
+    ).cast("int")
+    return (
+        nxt.select(F.col("ts").cast("date").alias("day"), converted.alias("conv"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("conv").cast("long").alias("n_converted"),
+            F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conversion_rate"),
+        )
+    )

@@ -538,3 +538,57 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           round(shared * 1.0 / least(x.n, y.n), 4) AS overlap
+    FROM pairs JOIN sizes x ON src_a = x.source JOIN sizes y ON src_b = y.source
+    WHERE round(shared * 1.0 / least(x.n, y.n), 4) >= 0.5
+    """,
+    tags=("text", "governance"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-overlap coefficient between SOURCES (|Vₐ∩Vᵦ| / min
+    vocab size ≥ 0.5): the corpus-level twin of document containment —
+    two sources sharing most of a vocabulary are mirrors or scrapes of
+    each other, and the mixture planner should know before weighting
+    them independently. Same inverted-index self-join shape as the
+    document dedup tier, but over |sources|² — a few hundred rows at
+    any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    v = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .withColumn("overlap", F.round(F.col("shared") / F.least("n_a", "n_b"), 4))
+        .filter(F.col("overlap") >= 0.5)
+        .select("src_a", "src_b", F.col("shared").cast("long").alias("shared"), "overlap")
+    )
