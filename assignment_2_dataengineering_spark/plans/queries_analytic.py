@@ -2082,3 +2082,63 @@ def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (n_d * n_d))
     ) / (1 + 3.8416 / F.col("n"))
     return r.select("event_type", "n", "k", F.round(lb, 6).alias("wilson_lb"))
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS observed,
+           round(count(*) * 1.0 / (SELECT n FROM n), 6) AS observed_share,
+           CASE digit
+             WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+             WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+             WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757
+           END AS benford_share
+    FROM d GROUP BY digit
+    """,
+    tags=("governance", "stats"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (organically-grown magnitudes follow
+    log₁₀(1+1/d); invented ones don't). Observed shares divide exact
+    counts; the expected shares are 6dp decimal literals both engines
+    parse identically, so no log() is ever evaluated. One scan, one
+    9-row aggregate. (This synthetic generator draws prices uniformly,
+    so the audit correctly REJECTS Benford here — the point is the
+    measurement, not conformity.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    benford = F.create_map(
+        *[
+            x
+            for d, p in [
+                (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+                (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+                (9, 0.045757),
+            ]
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed") / F.col("n"), 6).alias("observed_share"),
+            benford[F.col("digit")].alias("benford_share"),
+        )
+    )
