@@ -1356,3 +1356,92 @@ def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("conv") / F.count(F.lit(1)), 6).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+        SELECT day, cents, n,
+               sum(cents) OVER w AS c1, sum(cents * cents) OVER w AS c2,
+               sum(n) OVER w AS cn,
+               (SELECT sum(cents) FROM daily) AS t1,
+               (SELECT sum(cents * cents) FROM daily) AS t2,
+               (SELECT sum(n) FROM daily) AS tn,
+               row_number() OVER (ORDER BY day) AS rn,
+               (SELECT count(*) FROM daily) AS nd
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT day,
+               (c2 - c1 * (c1 / CAST(cn AS DOUBLE)))
+               + ((t2 - c2) - (t1 - c1) * ((t1 - c1) / CAST(tn - cn AS DOUBLE)))
+                 AS sse,
+               round(c1 / CAST(cn AS DOUBLE) / 100, 6) AS mean_before,
+               round((t1 - c1) / CAST(tn - cn AS DOUBLE) / 100, 6) AS mean_after
+        FROM pre WHERE rn < nd
+    )
+    SELECT day AS split_day, mean_before, mean_after
+    FROM scored ORDER BY sse ASC, day ASC LIMIT 1
+    """,
+    tags=("temporal", "stats"),
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point by binary segmentation: the day split that
+    minimizes total within-segment sum of squares of daily purchase
+    volume — computed for every candidate split from ONE pass of
+    prefix sums (Σx, Σx², Σn as exact longs over integer cents), so
+    the whole search is a ~30-row window pass, not 30 re-aggregations.
+    The SSE comparison runs on doubles derived from identical exact
+    integers — deterministic argmin with a day tie-break. The
+    fact-sized work is one daily aggregate; everything after is
+    calendar-sized."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("cents").alias("t1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("t2"),
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    pre = (
+        daily.select(
+            "day",
+            F.sum("cents").over(w).alias("c1"),
+            F.sum(F.col("cents") * F.col("cents")).over(w).alias("c2"),
+            F.sum("n").over(w).alias("cn"),
+            F.row_number().over(Window.orderBy("day")).alias("rn"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") < F.col("nd"))
+    )
+    cn_d = F.col("cn").cast("double")
+    rn_d = (F.col("tn") - F.col("cn")).cast("double")
+    sse = (
+        F.col("c2") - F.col("c1") * (F.col("c1") / cn_d)
+    ) + (
+        (F.col("t2") - F.col("c2"))
+        - (F.col("t1") - F.col("c1")) * ((F.col("t1") - F.col("c1")) / rn_d)
+    )
+    return (
+        pre.select(
+            F.col("day").alias("split_day"),
+            sse.alias("sse"),
+            F.round(F.col("c1") / cn_d / 100, 6).alias("mean_before"),
+            F.round((F.col("t1") - F.col("c1")) / rn_d / 100, 6).alias("mean_after"),
+        )
+        .orderBy(F.col("sse").asc(), F.col("split_day").asc())
+        .limit(1)
+        .drop("sse")
+    )
