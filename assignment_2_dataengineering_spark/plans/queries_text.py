@@ -592,3 +592,59 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap") >= 0.5)
         .select("src_a", "src_b", F.col("shared").cast("long").alias("shared"), "overlap")
     )
+
+
+@register(
+    "q_dedup_summary",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+                FROM words WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b
+                FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+                WHERE round(shared * 1.0 / (x.n + y.n - shared), 4) >= 0.3),
+         members AS (SELECT id_a AS doc_id FROM jp UNION SELECT id_b FROM jp),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT (SELECT n_docs FROM n) AS n_docs,
+           CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_near_dup_pairs,
+           CAST((SELECT count(*) FROM members) AS BIGINT) AS n_docs_in_pairs,
+           round((SELECT count(*) FROM members) * 1.0 / (SELECT n_docs FROM n), 6)
+             AS near_dup_rate
+    """,
+    tags=("dedup", "governance"),
+)
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup GOVERNANCE number: what fraction of the corpus
+    participates in at least one exact-Jaccard ≥ 0.3 pair — the
+    headline a dedup run reports before and after (pairs list is the
+    worklist, this is the dashboard). Reuses ngram_jaccard_pairs and
+    reduces it to one row; the only additions are a distinct over pair
+    members and two scalar counts."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.3)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
+    m = members.agg(F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs"))
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_docs",
+            "n_near_dup_pairs",
+            "n_docs_in_pairs",
+            F.round(F.col("n_docs_in_pairs") / F.col("n_docs"), 6).alias(
+                "near_dup_rate"
+            ),
+        )
+    )
