@@ -1445,3 +1445,45 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("sse")
     )
+
+
+@register(
+    "q_tail_latency",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) - epoch_us(ts)
+                 AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.50) / 1e6, 4) AS p50_s,
+           round(quantile_cont(gap_us, 0.95) / 1e6, 4) AS p95_s,
+           round(quantile_cont(gap_us, 0.99) / 1e6, 4) AS p99_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("temporal", "observability"),
+)
+def q_tail_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival tail latency per stream: p50/p95/p99 of the gap
+    between consecutive events of each type — the freshness-SLO
+    companion to q_freshness_audit (that says how STALE; this says how
+    BURSTY). Gaps are exact integer microseconds from one lead()
+    window; three interpolated percentiles in one aggregate (at 100 TB
+    the exact-quantile histogram path, operators/quantile.py, replaces
+    the value-map percentile per the documented trade-off)."""
+    ev = T(spark, sf_dir, "events")
+    t_us = TP._us("ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (F.lead(t_us).over(w) - t_us).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_us", 0.50) / 1e6, 4).alias("p50_s"),
+        F.round(F.percentile("gap_us", 0.95) / 1e6, 4).alias("p95_s"),
+        F.round(F.percentile("gap_us", 0.99) / 1e6, 4).alias("p99_s"),
+    )
