@@ -42,9 +42,22 @@ def exact_quantile_int(
 
     while hi - lo + 1 > buckets:
         w = (hi - lo + buckets) // buckets  # ceil width, ≥ 1
+        # Bucket index in exact integer arithmetic: Spark's `/` on longs is
+        # DOUBLE division, which rounds across bucket boundaries once the
+        # range exceeds 2^53 (e.g. v = 1000·w − 1 with w ≈ 4.5e15 lands in
+        # bucket 1000 instead of 999), desynchronizing the histogram from
+        # the integer range filters below. `DIV` truncates exactly; the
+        # subtraction runs in DECIMAL(38,0) because v − lo itself overflows
+        # BIGINT when the range spans most of the 64-bit domain. v ≥ lo
+        # makes truncation equal floor; the quotient is ≤ buckets, so the
+        # BIGINT cast of the result is safe.
         hist = dict(
             d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-            .groupBy(((F.col("v") - lo) / w).cast("long").alias("b"))
+            .groupBy(
+                F.expr(
+                    f"CAST((CAST(v AS DECIMAL(38,0)) - {lo}) DIV {w} AS BIGINT)"
+                ).alias("b")
+            )
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )

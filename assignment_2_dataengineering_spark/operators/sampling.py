@@ -141,3 +141,70 @@ def cap_per_group(
         df.withColumn("cap_rank", F.row_number().over(w))
         .filter(F.col("cap_rank") <= k)
     )
+
+
+def two_phase_global_rank(
+    df: DataFrame,
+    order_by: list[tuple[str, bool]],
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a TOTAL order, computed without a
+    single-partition window (the classic scale killer: `row_number()
+    OVER (ORDER BY ...)` funnels every row through one task — fatal at
+    |users|- or |vocabulary|-cardinality on the 100 TB target).
+
+    Two phases, same shape as global_shuffle_rank but for arbitrary
+    sort keys:
+      1. `repartitionByRange` on the sort order (range partitions are
+         contiguous in the total order), count rows per range
+         partition, prefix-sum into per-partition offsets (a
+         ≤`partitions`-row window — trivially small, broadcast back);
+      2. row_number within each range partition (distributed window)
+         + the partition's offset.
+
+    `order_by` is [(column, ascending), ...] and MUST be a total order
+    (include a unique tiebreak column): ties that straddle a range
+    boundary would otherwise rank nondeterministically. Equivalent to
+    the global window exactly; costs one range shuffle + one hash
+    shuffle on `_pid` instead of a 1-task sort."""
+    from pyspark.sql import Window
+
+    sort_cols = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by
+    ]
+    if partitions is None:
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.row_number().over(w_in) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, tiles: int) -> Column:
+    """SQL ntile(k) reconstructed from an exact global rank column and
+    the total row count — first (n mod k) tiles get ceil(n/k) rows, the
+    rest floor(n/k), identical to the window function's contract. Pure
+    integer arithmetic (ceil(a/b) = (a+b-1) DIV b; CASE short-circuits,
+    so the DIV-by-q branch never evaluates when q = 0, i.e. n < k).
+    Combining this with two_phase_global_rank replaces a
+    single-partition ntile window with two distributed shuffles and a
+    broadcast scalar count."""
+    r = f"({n_col} % {tiles})"
+    q = f"({n_col} DIV {tiles})"
+    big = f"({r} * ({q} + 1))"  # rows covered by the ceil-sized tiles
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {big}"
+        f" THEN ({rank_col} + {q}) DIV ({q} + 1)"
+        f" ELSE {r} + ({rank_col} - {big} + {q} - 1) DIV {q} END AS INT)"
+    )

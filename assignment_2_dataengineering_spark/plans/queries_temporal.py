@@ -1325,14 +1325,18 @@ def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/temporal.asof_join direction='forward') + a horizon
     predicate — linear per key, no range join — where the oracle's
     EXISTS subquery is the quadratic form. Edge semantics: the as-of
-    carries the EARLIEST at-or-after purchase, so a purchase at the
-    exact click microsecond (gap 0) reads as non-converting and masks
-    any later one — a measure-zero event on microsecond timestamps,
-    and the strictly-after contract both sides implement. Conversion
-    rates divide exact counts per day."""
+    probes from click_ts + 1 µs, so it carries the earliest STRICTLY
+    LATER purchase — exactly the oracle's `pt > c.t`; a purchase tied
+    to the click microsecond neither converts nor masks a later
+    within-hour one. Conversion rates divide exact counts per day."""
     ev = T(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts"
+        "user_id",
+        "event_id",
+        "ts",
+        # probe 1 µs after the click: the inclusive forward as-of then
+        # implements the strictly-after contract at microsecond grain
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("ts_probe"),
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1341,11 +1345,16 @@ def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts")
     )
     nxt = TP.asof_join(
-        clicks, purchases, ["user_id"], right_cols=[], direction="forward"
+        clicks,
+        purchases,
+        ["user_id"],
+        left_ts="ts_probe",
+        right_cols=[],
+        direction="forward",
     )
     gap_us = TP._us(F.col("ts_right")) - TP._us(F.col("ts"))
     converted = (
-        F.col("ts_right").isNotNull() & (gap_us > 0) & (gap_us <= 3_600_000_000)
+        F.col("ts_right").isNotNull() & (gap_us <= 3_600_000_000)
     ).cast("int")
     return (
         nxt.select(F.col("ts").cast("date").alias("day"), converted.alias("conv"))

@@ -424,6 +424,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+          AND l_suppkey IS NOT NULL
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -437,25 +438,33 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: aggregate-of-aggregate — quarterly
     revenue per supplier, then the supplier(s) hitting the global max.
-    The revenue rollup is one shuffle; the max is a window MAX over the
-    (tiny) rollup rather than a second scan-and-join, so the fact table
-    is read exactly once. Revenue is rounded to cents BEFORE the
-    max-equality test, making the float comparison exact in both
-    engines."""
-    from pyspark.sql import Window
-
+    The revenue rollup is one shuffle; the global max is a 1-row scalar
+    aggregate broadcast back onto the rollup (NOT a `Window.
+    partitionBy()` empty-spec max, which would funnel the
+    |suppliers|-cardinality rollup through a single task — round-4
+    plan-audit fix). The rollup subtree appears twice in the logical
+    plan, but the two exchanges are identical so ReuseExchange runs the
+    fact scan + partial aggregation once. Revenue is rounded to cents
+    BEFORE the max-equality test, making the float comparison exact in
+    both engines."""
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # explicit on BOTH branches (and in the oracle): the supplier
+        # join infers it on one branch anyway; stating it at the base
+        # keeps the two rollup subtrees canonically identical so
+        # ReuseExchange runs the fact scan + partial agg once
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
     )
-    best = rev.withColumn(
-        "__mx", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
     s = T(spark, sf_dir, "supplier")
     return (
         s.join(best, s["s_suppkey"] == best["supplier_no"])

@@ -431,3 +431,29 @@ def test_exact_quantile_matches_sorted_rank_definition(spark, sf_dir):
     ]
     # empty input
     assert exact_quantile_int(li.filter(F.lit(False)), cents, 0.5) is None
+
+
+def test_exact_quantile_range_wider_than_2_53(spark):
+    """Pin the integer-DIV bucket fix: with a value range wider than 2^53,
+    double division rounds values across bucket boundaries (v = 1000*w - 1
+    with w ~ 4.5e15 buckets to 1000 instead of 999), which historically
+    desynchronized the histogram from the integer range filters and either
+    returned a wrong quantile or tripped the rank assertion. Integer DIV
+    keeps every pass exact over the full 64-bit domain."""
+    import math
+
+    from assignment_2_dataengineering_spark.operators.quantile import exact_quantile_int
+
+    lo, hi = -(2**62), 2**62  # range ~ 9.2e18 >> 2^53
+    w = (hi - lo + 1024) // 1024
+    # values chosen to straddle bucket boundaries where double math rounds
+    raw = sorted(
+        [lo, hi, 0, lo + 1000 * w - 1, lo + 1000 * w, lo + 999 * w + w // 2]
+        + [lo + k * w - 1 for k in (1, 7, 512)]
+        + [lo + k * w for k in (1, 7, 512)]
+    )
+    df = spark.createDataFrame([(v,) for v in raw], "v long")
+    for q in (0.01, 0.25, 0.5, 0.9, 1.0):
+        got = exact_quantile_int(df, F.col("v"), q)
+        want = raw[max(1, math.ceil(q * len(raw))) - 1]
+        assert got == want, (q, got, want)

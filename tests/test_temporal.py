@@ -165,3 +165,40 @@ def test_streaming_session_window_vs_batch(spark, tmp_path_factory):
         ["session_start", "session_end", "facility_id", "n_events", "sum_power_mw"],
     ).count()
     assert joined == emitted
+
+
+def test_windowed_funnel_timestamp_tied_purchase_does_not_mask(spark, tmp_path):
+    """A purchase at the EXACT click microsecond must neither convert
+    (contract is strictly-after) nor mask a later within-hour purchase.
+    Historically the inclusive forward as-of carried the tied purchase
+    (gap 0 → conv 0) and hid the converting one; the +1 µs probe fixes
+    it. Also pins: tied purchase with NO later one → not converted."""
+    import datetime as dt
+
+    from assignment_2_dataengineering_spark.plans.queries_temporal import (
+        q_windowed_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click + purchase at same instant + purchase 10 min later
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 1, "purchase", 5.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0, "{}"),
+        # user 2: click + ONLY a timestamp-tied purchase -> no conversion
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0, 2, "purchase", 5.0, "{}"),
+        # user 3: click + purchase 2h later -> outside horizon
+        (6, t0, 3, "click", 1.0, "{}"),
+        (7, t0 + dt.timedelta(hours=2), 3, "purchase", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_windowed_funnel(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_clicks"] == 3
+    assert r["n_converted"] == 1  # only user 1
+    assert abs(r["conversion_rate"] - round(1 / 3, 6)) < 1e-9
