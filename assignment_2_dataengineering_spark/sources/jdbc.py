@@ -78,3 +78,39 @@ def fetch_missing_jdbc(
         return spark.read.jdbc(url, subquery, properties=props)
 
     return fetch
+
+
+def jdbc_write_back(
+    url: str,
+    table: str,
+    key_col: str,
+    properties: dict | None = None,
+):
+    """`write_back` factory for `enrichment_upsert_batch`: the INSERT
+    half of the reference's upsert (dashboard.py:298-303, `INSERT ...
+    ON CONFLICT DO NOTHING` into the primary lookup table after a
+    secondary fetch).
+
+    Plain JDBC has no portable ON CONFLICT, so insert-if-absent is an
+    anti-join against the table's current keys (a pushed-down
+    single-column projection — only keys cross the wire) followed by a
+    `mode="append"` write. That read-check-append is exact here because
+    foreachBatch serializes micro-batches within one streaming query
+    (single-writer); it is also what makes a REPLAYED batch a no-op —
+    the rows it inserted last time are found by the anti-join and
+    skipped, the same idempotence contract as the reference's ON
+    CONFLICT DO NOTHING."""
+    props = dict(properties or {})
+
+    def write(rows: DataFrame) -> None:
+        if rows.isEmpty():
+            return
+        spark = rows.sparkSession
+        existing = spark.read.jdbc(
+            url, f'(SELECT "{key_col}" FROM {table}) k', properties=props
+        )
+        rows.join(existing, [key_col], "left_anti").write.jdbc(
+            url, table, mode="append", properties=props
+        )
+
+    return write

@@ -169,12 +169,20 @@ def stateful_latest_snapshot(
     )
 
 
-def enrichment_upsert_batch(dim_state: dict[str, DataFrame], fetch_missing):
+def enrichment_upsert_batch(
+    dim_state: dict[str, DataFrame], fetch_missing, write_back=None
+):
     """J8 fallback-enrichment upsert (dashboard.py:277-307): per
     micro-batch, anti-join event keys against the dim; fetch rows for the
     misses from a secondary source (JDBC in the reference); append
     insert-if-absent. `fetch_missing(keys_df) -> DataFrame` abstracts the
-    secondary lookup (JDBC/REST/static)."""
+    secondary lookup (JDBC/REST/static); `write_back(rows_df)` — e.g.
+    sources/jdbc.jdbc_write_back — persists the newly-learned rows into
+    the primary lookup store, completing the reference's
+    `INSERT ... ON CONFLICT DO NOTHING` (dashboard.py:298-303). The
+    new-row set is localCheckpointed once so the in-memory dim append
+    and the write-back observe the SAME rows without re-running the
+    secondary fetch."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         dim = dim_state["df"]
@@ -182,6 +190,11 @@ def enrichment_upsert_batch(dim_state: dict[str, DataFrame], fetch_missing):
         misses = batch.select(key).distinct().join(dim.select(key), key, "left_anti")
         fetched = fetch_missing(misses)
         if fetched is not None:
-            dim_state["df"] = dim.unionByName(fetched.join(dim.select(key), key, "left_anti"))
+            new_rows = fetched.join(
+                dim.select(key), key, "left_anti"
+            ).localCheckpoint()
+            dim_state["df"] = dim.unionByName(new_rows)
+            if write_back is not None:
+                write_back(new_rows)
 
     return apply

@@ -8,20 +8,35 @@ cluster but nothing crosses back to the driver, so the number measures
 the engine, not result transfer.
 
 Methodology: each query runs once untimed (JIT/codegen/Arrow warm-up),
-then once timed. The timed window covers plan CONSTRUCTION plus
-execution — the iterative operators (IVF/PQ training) execute eagerly
-during construction, and excluding that understated them. Reported
-numbers are steady-state engine cost, not first-run cold cost.
+then THREE timed runs; the reported per-query number is the MEDIAN —
+with 36 headline queries in one session, a single timed run cannot
+separate a real regression from JIT/GC/cache variance (round-3 verdict:
+six queries "regressed" 24-50% on sub-second absolute deltas that were
+all noise). The timed window covers plan CONSTRUCTION plus execution —
+the iterative operators (IVF/PQ training) execute eagerly during
+construction, and excluding that understated them. Reported numbers are
+steady-state engine cost, not first-run cold cost.
+
+Streaming: three throughput numbers over ~100k fixture events each,
+covering the three maintenance shapes — watermarked window aggregation
+(stream_eps), applyInPandasWithState latest-snapshot (stream_state_eps),
+and the persisted LSH dedup-index foreachBatch path (stream_dedup_dps,
+in docs/s over the sf documents table). Each is guarded: a streaming
+failure must not take down the batch bench line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TIMED_RUNS = 3
 
 
 def main() -> None:
@@ -41,54 +56,108 @@ def main() -> None:
     timings: dict[str, float] = {}
     for spec in specs:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[spec.name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
 
-    # Streaming throughput: ~100k fixture events through the real
-    # ingest pipeline (file stream → parse → route → watermarked
-    # window sums, noop sink, availableNow). The reference's producer
-    # paces 10 events/s (publisher.py:27) — this is the engine-side
-    # number to hold against it. Guarded: a streaming failure must not
-    # take down the batch bench line.
-    stream_eps = None
-    try:
-        import tempfile
+    # ---- streaming throughput -------------------------------------------
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    def _run_stream(build):
+        """build(spark) -> (streaming_writer_ready_to_start, n_events);
+        returns events/sec through the started query, or None."""
+        try:
+            t0 = time.perf_counter()
+            writer, n = build(spark)
+            q = writer.option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_")
+            ).start()
+            q.awaitTermination(600)
+            return round(n / (time.perf_counter() - t0))
+        except Exception:
+            return None
+
+    def _event_source(spark):
+        """~101k NEM fixture events as a file-replay stream."""
         from fixtures import nem
 
-        from assignment_2_dataengineering_spark.streaming import (
-            ingest,
-            replay,
-            windows,
-        )
+        from assignment_2_dataengineering_spark.streaming import replay
 
         lines = nem.event_stream() * 100
         src = tempfile.mkdtemp(prefix="bench_stream_")
         replay.write_replay_chunks(lines, src, events_per_file=50_000)
-        t0 = time.perf_counter()
         stream = replay.file_replay_stream(spark, src, max_files_per_trigger=100)
+        return stream, len(lines)
+
+    def _window_bench(spark):
+        # parse → route → watermarked tumbling sums: the reference's
+        # whole dashboard pipeline (its producer paces 10 events/s,
+        # publisher.py:27 — this is the engine-side number against it)
+        from assignment_2_dataengineering_spark.streaming import ingest, windows
+
+        stream, n = _event_source(spark)
         agg = windows.tumbling_window_sums(
             ingest.facility_branch(ingest.parse_events(stream)),
             "facility_id",
             ["power_mw", "co2_tonnes"],
             watermark="6 hours",
         )
-        q = (
+        return (
             agg.writeStream.outputMode("update")
             .format("noop")
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_"))
-            .start()
+        ), n
+
+    def _stateful_bench(spark):
+        # applyInPandasWithState latest-per-key snapshot with
+        # field-level backfill — the custom stateful operator path
+        from assignment_2_dataengineering_spark.streaming import ingest, snapshot
+
+        stream, n = _event_source(spark)
+        snap = snapshot.stateful_latest_snapshot(
+            ingest.facility_branch(ingest.parse_events(stream)),
+            "facility_id",
+            ["power_mw", "co2_tonnes"],
         )
-        q.awaitTermination(600)
-        stream_eps = round(len(lines) / (time.perf_counter() - t0))
-    except Exception:
-        pass
+        return (
+            snap.writeStream.outputMode("update")
+            .format("noop")
+            .trigger(availableNow=True)
+        ), n
+
+    def _dedup_index_bench(spark):
+        # persisted-LSH incremental near-dup index: docs stream through
+        # foreachBatch, each batch probed against all history
+        from assignment_2_dataengineering_spark.streaming.dedup_index import (
+            incremental_near_dup_batch,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n = docs.count()
+        src = tempfile.mkdtemp(prefix="bench_docs_")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        worker = incremental_near_dup_batch(
+            tempfile.mkdtemp(prefix="bench_ndidx_"), max_bucket_size=64
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream.writeStream.foreachBatch(worker).trigger(availableNow=True), n
+
+    stream_eps = _run_stream(_window_bench)
+    stream_state_eps = _run_stream(_stateful_bench)
+    stream_dedup_dps = _run_stream(_dedup_index_bench)
+
     # The headline set GROWS round over round as operators land, so the
     # total is not longitudinally comparable. core11_wall is the fixed
     # round-1 query set — the stable cross-round trend line.
@@ -106,10 +175,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "timed_runs_per_query": TIMED_RUNS,
                 "core11_wall": round(
                     sum(timings[q] for q in core11 if q in timings), 3
                 ),
                 "stream_eps": stream_eps,
+                "stream_state_eps": stream_state_eps,
+                "stream_dedup_dps": stream_dedup_dps,
             }
         )
     )

@@ -83,3 +83,75 @@ def test_streaming_upsert_with_jdbc_secondary(spark, derby_url, tmp_path_factory
     assert "ABSENT" not in dim  # not in the secondary either
     assert "OTHER" not in dim  # secondary rows never requested stay put
     assert len(dim) == 3
+
+
+def test_streaming_upsert_writes_back_to_primary_jdbc(
+    spark, derby_url, tmp_path_factory
+):
+    """The INSERT half of the reference's upsert (dashboard.py:298-303,
+    ON CONFLICT DO NOTHING): rows fetched from the secondary land in
+    the primary JDBC table exactly once — across duplicate keys within
+    the stream AND across a replayed batch (the write-back's anti-join
+    is the idempotence guard)."""
+    primary_table = "primary_facilities"
+    spark.createDataFrame([("FAC000", "Known Zero")], DIM_SCHEMA).write.option(
+        "createTableColumnTypes",
+        "facility_id VARCHAR(64), facility_name VARCHAR(256)",
+    ).jdbc(derby_url, primary_table, properties=DERBY_PROPS)
+
+    lookup = jdbc.read_jdbc_table(spark, derby_url, primary_table, DERBY_PROPS)
+    dim_state = {"df": lookup}
+    fetch = jdbc.fetch_missing_jdbc(
+        spark, derby_url, "facilities", "facility_id", DERBY_PROPS
+    )
+    write_back = jdbc.jdbc_write_back(
+        derby_url, primary_table, "facility_id", DERBY_PROPS
+    )
+    worker = snapshot.enrichment_upsert_batch(dim_state, fetch, write_back)
+
+    src = str(tmp_path_factory.mktemp("ids_wb"))
+    replay.write_replay_chunks(
+        ["FAC000", "UNKNOWN9", "UNKNOWN9", "NEW1", "ABSENT"], src, events_per_file=2
+    )
+    stream = replay.file_replay_stream(spark, src).select(
+        F.col("value").alias("facility_id")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(worker)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_wb")))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    table = {
+        r.facility_id: r.facility_name
+        for r in jdbc.read_jdbc_table(
+            spark, derby_url, primary_table, DERBY_PROPS
+        ).collect()
+    }
+    assert table == {
+        "FAC000": "Known Zero",
+        "UNKNOWN9": "Fetched Unknown Nine",
+        "NEW1": "Fetched New One",
+    }
+
+    # replayed batch: re-apply the same keys against a RESET in-memory
+    # dim (simulating a restart that lost driver state but not the DB):
+    # the write-back's anti-join must keep the table unchanged
+    dim_state["df"] = spark.createDataFrame([("FAC000", "Known Zero")], DIM_SCHEMA)
+    worker(
+        spark.createDataFrame(
+            [("UNKNOWN9",), ("NEW1",)], "facility_id string"
+        ),
+        99,
+    )
+    counts = (
+        jdbc.read_jdbc_table(spark, derby_url, primary_table, DERBY_PROPS)
+        .groupBy("facility_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in counts), counts
+    assert len(counts) == 3
