@@ -577,6 +577,7 @@ def span_dedup(
     n: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact substring (span) deduplication: remove every token span
     that repeats an n-gram already seen elsewhere in the corpus,
@@ -594,9 +595,14 @@ def span_dedup(
       2. window min(struct(doc, pos)) over shingle marks every
          occurrence that is not globally first — one shuffle on the
          shingle key. A corpus-frequent shingle (boilerplate) makes a
-         hot key; the window only carries (doc, pos) structs, and a
-         production run would pre-cap with a count>threshold routing
-         like ngram_jaccard's df-cap;
+         hot key; `max_shingle_freq` is the production guard: shingles
+         whose corpus count exceeds it route through a map-side-combined
+         aggregate + BROADCAST of the (small) hot-shingle first-
+         occurrence table instead of the window, so no window partition
+         ever exceeds `max_shingle_freq` rows. The routing changes the
+         PLAN only — output is identical with any cap (equivalence
+         pinned in tests/test_dedup.py, and q_corpus_pipeline_v2 runs
+         capped against the uncapped oracle);
       3. duplicate occurrences explode to covered positions,
          distinct'd per doc — sequence(pos, pos+n-1) is JVM-side;
       4. anti-join the posexploded tokens against covered positions,
@@ -621,16 +627,47 @@ def span_dedup(
         F.posexplode(shingles_from_tokens(F.col("__w"), n)).alias("pos", "sh"),
     )
     w_first = Window.partitionBy("sh")
-    dup_occ = (
-        sh.withColumn(
-            "__first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_first)
+
+    def _window_dups(occ: DataFrame) -> DataFrame:
+        return (
+            occ.withColumn(
+                "__first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w_first)
+            )
+            .filter(
+                (F.col("__first")[id_col] != F.col(id_col))
+                | (F.col("__first")["pos"] != F.col("pos"))
+            )
+            .select(id_col, "pos")
         )
-        .filter(
-            (F.col("__first")[id_col] != F.col(id_col))
-            | (F.col("__first")["pos"] != F.col("pos"))
+
+    if max_shingle_freq is None:
+        dup_occ = _window_dups(sh)
+    else:
+        # Hot-shingle routing: boilerplate shingles (count > cap) would
+        # blow the per-key window partition, but their first occurrence
+        # is just a min aggregate (map-side combined, skew-immune). The
+        # hot set is small by definition of "boilerplate" — broadcast
+        # it; every other shingle keeps the window path with partitions
+        # bounded by the cap.
+        hot = (
+            sh.groupBy("sh")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+            )
+            .filter(F.col("__c") > max_shingle_freq)
+            .select("sh", "__first")
         )
-        .select(id_col, "pos")
-    )
+        dup_hot = (
+            sh.join(F.broadcast(hot), "sh")
+            .filter(
+                (F.col("__first")[id_col] != F.col(id_col))
+                | (F.col("__first")["pos"] != F.col("pos"))
+            )
+            .select(id_col, "pos")
+        )
+        cold = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        dup_occ = _window_dups(cold).unionByName(dup_hot)
     covered = dup_occ.select(
         id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos")
     ).distinct()

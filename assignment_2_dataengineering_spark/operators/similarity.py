@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, hyperplane_sign_bits
 
 
+def rerank_topk(
+    candidates: DataFrame,
+    k: int = 10,
+    qv_col: str = "__qv",
+    cv_col: str = "__cv",
+) -> DataFrame:
+    """Exact-cosine re-rank of candidate (query_id, match_id, qv, cv)
+    pairs to a per-query top-k — THE verification stage every ANN
+    variant in this module ends with (brute force feeds it the cross
+    product, LSH its bucket collisions, IVF its probed cells).
+    Deterministic: cosine rounded to 6dp, ties broken by match_id; the
+    per-query window lowers to partial top-k via WindowGroupLimit, so
+    no single task ever holds a query's full candidate set."""
+    scored = candidates.withColumn(
+        "cos_sim", F.round(cosine(F.col(qv_col), F.col(cv_col)), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", "cos_sim")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -39,17 +65,8 @@ def brute_force_topk(
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("match_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "rank", "cos_sim")
-    )
+    cand = c.crossJoin(F.broadcast(q)).filter(F.col("match_id") != F.col("query_id"))
+    return rerank_topk(cand, k)
 
 
 def lsh_topk(
@@ -105,13 +122,7 @@ def lsh_topk(
         .select("query_id", "__queryv", "match_id", "__matchv")
         .distinct()
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("__queryv"), F.col("__matchv")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("match_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "rank", "cos_sim")
-    )
+    return rerank_topk(cand, k, qv_col="__queryv", cv_col="__matchv")
 
 
 def embedding_near_dupes(
@@ -389,17 +400,10 @@ def ivf_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(probe_maker(nprobe)(F.col(vec_col))).alias("cid"),
     )
-    scored = (
-        c_assigned.join(F.broadcast(q_assigned), "cid")
-        .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    cand = c_assigned.join(F.broadcast(q_assigned), "cid").filter(
+        F.col("match_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("match_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "rank", "cos_sim")
-    )
+    return rerank_topk(cand, k)
 
 
 # ---------------------------------------------------------------------------

