@@ -70,58 +70,60 @@ def learn_bpe_merges(
     )
     merges: list[tuple[int, str, int, str]] = []
     cur = wc
-    for rank in range(num_merges):
-        # Materialize the token array once behind the explode(array(x))
-        # Generate barrier (dedup._with_shingle_set pattern): inlined,
-        # every element_at re-splits the sequence string — 3 splits per
-        # pair position.
-        toks = cur.select(
-            F.explode(F.array(F.split(F.trim("seq"), "  "))).alias("__t"), "cnt"
-        )
-        # CASE guard: a fully-merged 1-symbol word makes sequence(1, 0)
-        # — which Spark evaluates DESCENDING to [1, 0], so element_at
-        # hits index 0 and ANSI mode throws. Emit no pairs instead.
-        pairs = toks.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(__t) < 2 THEN array()"
-                    " ELSE transform(sequence(1, size(__t) - 1),"
-                    " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
-                    " END"
-                )
-            ).alias("pair"),
-            "cnt",
-        )
-        # ONE job per round: the vocab-bounded pair aggregate's single
-        # winning row comes to the driver (the IVF-centroid precedent —
-        # a 3-field row, not data) and re-enters the plan as literals,
-        # so the sequence rewrite chain stays a stack of narrow
-        # replace() projections over the one persisted vocab table: no
-        # per-round checkpoint, no broadcast join, no plan blowup.
-        # Measured 10.7 s → 4.0 s for 6 merges at sf0.1 vs the
-        # all-declarative crossJoin(broadcast(best)) form.
-        row = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
-        )
-        if not row:
-            break
-        pair = row[0]["pair"]
-        merged = pair.replace(" ", "")
-        merges.append((rank, pair, row[0]["pair_count"], merged))
-        cur = cur.select(
-            F.replace(
-                F.col("seq"),
-                # ' a  b ': one boundary space each side, two between
-                F.lit(" " + pair.replace(" ", "  ") + " "),
-                F.lit(" " + merged + " "),
-            ).alias("seq"),
-            "cnt",
-        )
-    wc.unpersist()
+    try:
+        for rank in range(num_merges):
+            # Materialize the token array once behind the explode(array(x))
+            # Generate barrier (dedup._with_shingle_set pattern): inlined,
+            # every element_at re-splits the sequence string — 3 splits per
+            # pair position.
+            toks = cur.select(
+                F.explode(F.array(F.split(F.trim("seq"), "  "))).alias("__t"), "cnt"
+            )
+            # CASE guard: a fully-merged 1-symbol word makes sequence(1, 0)
+            # — which Spark evaluates DESCENDING to [1, 0], so element_at
+            # hits index 0 and ANSI mode throws. Emit no pairs instead.
+            pairs = toks.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(__t) < 2 THEN array()"
+                        " ELSE transform(sequence(1, size(__t) - 1),"
+                        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+                        " END"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            # ONE job per round: the vocab-bounded pair aggregate's single
+            # winning row comes to the driver (the IVF-centroid precedent —
+            # a 3-field row, not data) and re-enters the plan as literals,
+            # so the sequence rewrite chain stays a stack of narrow
+            # replace() projections over the one persisted vocab table: no
+            # per-round checkpoint, no broadcast join, no plan blowup.
+            # Measured 10.7 s → 4.0 s for 6 merges at sf0.1 vs the
+            # all-declarative crossJoin(broadcast(best)) form.
+            row = (
+                pairs.groupBy("pair")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break
+            pair = row[0]["pair"]
+            merged = pair.replace(" ", "")
+            merges.append((rank, pair, row[0]["pair_count"], merged))
+            cur = cur.select(
+                F.replace(
+                    F.col("seq"),
+                    # ' a  b ': one boundary space each side, two between
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(" " + merged + " "),
+                ).alias("seq"),
+                "cnt",
+            )
+    finally:
+        wc.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, pair_count bigint, merged string"
     )
