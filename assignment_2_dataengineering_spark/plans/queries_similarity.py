@@ -676,3 +676,107 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return SIM.ivf_topk(q, emb, cents, k=_TOP_K, nprobe=4)
+
+
+def _sq4_sql(vexpr: str, cexpr: str, cast: str) -> str:
+    """4-term squared-distance sum between a subvector slice and a
+    codebook entry, written as an explicit left-associated chain so the
+    float addition order matches numpy's sequential reduce over the
+    sub-axis. `cast` = '' keeps parquet FLOAT arithmetic (the encode
+    kernel runs in float32); 'DOUBLE' mirrors the driver-side float64
+    ADC tables."""
+    terms = []
+    for i in range(1, 5):
+        v = f"{vexpr}[ct.mi * 4 + {i}]"
+        c = f"ct.cv[{i}]"
+        if cast:
+            v, c = f"CAST({v} AS {cast})", f"CAST({c} AS {cast})"
+        terms.append(f"(({v}) - ({c})) * (({v}) - ({c}))")
+    return " + ".join(terms)
+
+
+@register(
+    "q_ann_pq_adc",
+    oracle=f"""
+    WITH mi AS (SELECT unnest(range(0, 16)) AS mi),
+         cb AS (
+           SELECT mi.mi, e.vec_id AS cid,
+                  [e.embedding[mi.mi * 4 + 1], e.embedding[mi.mi * 4 + 2],
+                   e.embedding[mi.mi * 4 + 3], e.embedding[mi.mi * 4 + 4]] AS cv
+           FROM embeddings e, mi WHERE e.vec_id < 16
+         ),
+         encd AS (
+           SELECT v.vec_id, ct.mi, ct.cid, {_sq4_sql("v.embedding", "ct.cv", "")} AS d
+           FROM embeddings v CROSS JOIN cb ct
+         ),
+         codes AS (
+           SELECT vec_id, mi, cid FROM (
+             SELECT vec_id, mi, cid,
+                    row_number() OVER (PARTITION BY vec_id, mi
+                                       ORDER BY d ASC, cid ASC) AS rn
+             FROM encd
+           ) WHERE rn = 1
+         ),
+         qt AS (
+           SELECT qv.vec_id AS query_id, ct.mi, ct.cid,
+                  {_sq4_sql("qv.embedding", "ct.cv", "DOUBLE")} AS t
+           FROM embeddings qv CROSS JOIN cb ct WHERE qv.vec_id < {_N_QUERIES}
+         ),
+         adc AS (
+           SELECT qt.query_id, codes.vec_id AS match_id,
+                  round(list_sum(list(qt.t ORDER BY qt.mi)), 6) AS approx_dist
+           FROM codes JOIN qt ON qt.mi = codes.mi AND qt.cid = codes.cid
+           WHERE codes.vec_id <> qt.query_id
+           GROUP BY 1, 2
+         ),
+         short AS (
+           SELECT query_id, match_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dist ASC, match_id ASC) AS rn
+             FROM adc
+           ) WHERE rn <= 50
+         ),
+         scored AS (
+           SELECT s.query_id, s.match_id,
+                  round(list_sum(list_transform(range(1, 65),
+                        i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                           * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+                        6) AS l2_dist
+           FROM short s
+           JOIN embeddings q ON q.vec_id = s.query_id
+           JOIN embeddings c ON c.vec_id = s.match_id
+         )
+    SELECT query_id, match_id, CAST(rank AS INTEGER) AS rank, l2_dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2_dist ASC, match_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+    tags=("similarity",),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_pq's full serving path — float32 encode kernel, broadcast-
+    literal ADC tables folded in pure codegen, top-50 shortlist, exact-
+    L2 re-rank — with FIXED codebooks (subvector slices of the first 16
+    corpus vectors) instead of k-means-trained ones, which makes every
+    stage SQL-expressible: the oracle recomputes the float32 per-
+    subspace argmin (same left-associated 4-term sums and (d, cid)
+    tiebreak as the numpy kernel), the float64 distance tables, the
+    mi-ordered ADC fold, and both ranked cuts. Hash-exact — the
+    compressed-domain ANN family gets a green driver row; codebook
+    TRAINING keeps its recall-floor invariants (tests/test_pq.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r["embedding"][mi * 4 : (mi + 1) * 4]] for r in init]
+        for mi in range(16)
+    ]
+    codes = SIM.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return SIM.pq_topk_reranked(q, emb, codes, books, k=_TOP_K, shortlist=50)
