@@ -457,3 +457,53 @@ def test_exact_quantile_range_wider_than_2_53(spark):
         got = exact_quantile_int(df, F.col("v"), q)
         want = raw[max(1, math.ceil(q * len(raw))) - 1]
         assert got == want, (q, got, want)
+
+
+def test_two_phase_global_rank_equals_window_row_number(spark):
+    """two_phase_global_rank must equal the single-partition
+    row_number() window EXACTLY for any total order, partition count,
+    and direction mix — including partitions > rows."""
+    from assignment_2_dataengineering_spark.operators.sampling import (
+        two_phase_global_rank,
+    )
+
+    rows = [(i, (i * 37) % 11, float((i * 13) % 7)) for i in range(57)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    from pyspark.sql import Window
+
+    for order in ([("a", True), ("id", True)], [("b", False), ("a", True), ("id", False)]):
+        cols = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+        want = {
+            r["id"]: r["rk"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(*cols)).alias("rk")
+            ).collect()
+        }
+        for parts in (1, 4, 100):
+            got = {
+                r["id"]: r["rank"]
+                for r in two_phase_global_rank(df, order, "rank", partitions=parts).collect()
+            }
+            assert got == want, (order, parts)
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark, duck):
+    """ntile_from_rank(rank, n, k) must reproduce SQL ntile(k) for
+    every n (including n < k) — first n%k tiles get ceil(n/k) rows."""
+    from assignment_2_dataengineering_spark.operators.sampling import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 10, 13, 100):
+        want = [
+            r[0]
+            for r in duck.sql(
+                f"SELECT ntile(4) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+            ).fetchall()
+        ]
+        df = spark.createDataFrame([(i + 1, n) for i in range(n)], "rk long, n long")
+        got = [
+            r["t"]
+            for r in df.select("rk", ntile_from_rank("rk", "n", 4).alias("t"))
+            .orderBy("rk")
+            .collect()
+        ]
+        assert got == want, (n, got, want)
