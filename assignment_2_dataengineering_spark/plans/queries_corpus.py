@@ -681,8 +681,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: token and bigram count tables are keyed aggregates (NOT
     broadcast — a 100 TB corpus vocabulary outgrows any broadcast,
-    same policy as q_tfidf's df table); scoring joins stay shuffle
-    hash joins on token/bigram; V is a one-row broadcast cross join.
+    same policy as q_tfidf's df table). The per-bigram score
+    log((c12+1)/(c1+V)) is computed ONCE on the |distinct bigrams|
+    count table (bgc ⋈ uni on the first token + the 1-row broadcast V),
+    and only that one score table joins the occurrence stream — the
+    occurrence-volume rows cross exactly TWO exchanges (score join +
+    per-doc aggregate) instead of three (round-4 restructure; the
+    score expression is unchanged, so the oracle still matches).
     Bigrams reuse shingles_from_tokens(w, 2) — identical tokenization
     to the dedup tier."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -699,17 +704,21 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.shingles_from_tokens(F.col("w"), 2)).alias("bg")
     )
     bgc = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    return (
-        bigs.join(bgc, "bg")
-        .withColumn("__t1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    score_tbl = (
+        bgc.withColumn("__t1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
         .join(uni, F.col("__t1") == F.col("token"))
         .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize"))).alias("__s"),
+        )
+    )
+    return (
+        bigs.join(score_tbl, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize")))), 4
-            ).alias("nll"),
+            F.round(-F.avg("__s"), 4).alias("nll"),
         )
     )
 
