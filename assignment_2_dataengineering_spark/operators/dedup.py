@@ -685,7 +685,10 @@ def span_dedup(
         ).alias("text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = positions.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # n_tokens == the posexplode row count by construction, but size()
+    # on the already-materialized array is a NARROW projection — the
+    # groupBy-count form re-shuffled the full token stream a second time
+    totals = toks.select(id_col, F.size("__w").alias("n_tokens"))
     # Left join so a FULLY deduplicated doc still surfaces, as empty text.
     return totals.join(kept_agg, id_col, "left").select(
         id_col,
