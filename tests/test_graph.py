@@ -181,3 +181,57 @@ def test_iterative_graph_ops_release_their_caches(spark):
         bfs_hops(edges, seeds, max_hops=2).collect()
     gc.collect()
     assert persisted_non_checkpoint_count() == base
+
+
+def test_triangle_count_hand_graph(spark, sf_dir, duck):
+    """Degree-ordered orientation counts each triangle exactly once on
+    a hand graph with a hub (the case a naive canonical join blows up
+    on and a buggy orientation double- or zero-counts): K4 (4 triangles)
+    + a star center with no closures."""
+    from assignment_2_dataengineering_spark.plans.queries_graph import (
+        q_triangle_count,
+    )
+
+    # Reuse the registered query's edge derivation indirectly: build the
+    # same statistic over an explicit edge list via the operator steps —
+    # simplest is to check the registered query end-to-end against its
+    # own oracle at the fixture SF (exercised in oracle-parity), so here
+    # pin the closed-form hand values through the same orientation code
+    # path by monkey-building a tiny events table.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # one event_type timeline visiting users in an order whose
+    # consecutive-pair edges form K4 on {1,2,3,4} plus star edges 5->{6,7}
+    seq = [1, 2, 3, 1, 4, 2, 4, 3, 4, 1, 3, 2, 1, 5, 6, 5, 7, 5]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), u, "click", 1.0, "{}")
+        for i, u in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tri_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = q_triangle_count(spark, d).collect()[0]
+    # K4 has 4 triangles; the walk also creates consecutive-pair edges
+    # (4,1),(2,1)... all within K4; bridge edge (1,5) and star (5,6),(6,5)->(5,6),(5,7)
+    # wedges: compute from degrees of the realized undirected edge set
+    import duckdb as dk
+
+    con = dk.connect()
+    vals = ",".join(f"({a},{b})" for a, b in zip(seq, seq[1:]) if a != b)
+    want = con.sql(f"""
+        WITH raw(src, dst) AS (VALUES {vals}),
+        ud AS (SELECT DISTINCT least(src,dst) a, greatest(src,dst) b FROM raw),
+        deg AS (SELECT node, count(*) d FROM (
+            SELECT a AS node FROM ud UNION ALL SELECT b FROM ud) GROUP BY node),
+        tri AS (SELECT count(*) c FROM ud e1
+                JOIN ud e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN ud e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT (SELECT c FROM tri), (SELECT sum((d*(d-1))//2) FROM deg)
+    """).fetchone()
+    assert got["n_triangles"] == want[0] == 4
+    assert got["n_wedges"] == want[1]
