@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sign_bits
+from ..functions.vectors import cosine, dot, hyperplane_sign_bits, norm
 
 
 def rerank_topk(
@@ -28,6 +28,8 @@ def rerank_topk(
     k: int = 10,
     qv_col: str = "__qv",
     cv_col: str = "__cv",
+    qn_col: str | None = None,
+    cn_col: str | None = None,
 ) -> DataFrame:
     """Exact-cosine re-rank of candidate (query_id, match_id, qv, cv)
     pairs to a per-query top-k — THE verification stage every ANN
@@ -35,10 +37,20 @@ def rerank_topk(
     product, LSH its bucket collisions, IVF its probed cells).
     Deterministic: cosine rounded to 6dp, ties broken by match_id; the
     per-query window lowers to partial top-k via WindowGroupLimit, so
-    no single task ever holds a query's full candidate set."""
-    scored = candidates.withColumn(
-        "cos_sim", F.round(cosine(F.col(qv_col), F.col(cv_col)), 6)
-    )
+    no single task ever holds a query's full candidate set.
+
+    Pass `qn_col`/`cn_col` when the caller precomputed the vector norms
+    BEFORE candidate generation (a narrow per-row projection): the
+    pair stream then evaluates one dot fold instead of three — the
+    norms are the identical doubles either way (same fold over the
+    same array), so results are bit-unchanged."""
+    if qn_col and cn_col:
+        cos = dot(F.col(qv_col), F.col(cv_col)) / F.nullif(
+            F.col(qn_col) * F.col(cn_col), F.lit(0.0)
+        )
+    else:
+        cos = cosine(F.col(qv_col), F.col(cv_col))
+    scored = candidates.withColumn("cos_sim", F.round(cos, 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id").asc()
     )
@@ -63,10 +75,18 @@ def brute_force_topk(
     corpus never shuffles, only a per-query window top-k (pushed down to
     partial top-k by WindowGroupLimit).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
     cand = c.crossJoin(F.broadcast(q)).filter(F.col("match_id") != F.col("query_id"))
-    return rerank_topk(cand, k)
+    return rerank_topk(cand, k, qn_col="__qn", cn_col="__cn")
 
 
 def lsh_topk(
@@ -393,17 +413,19 @@ def ivf_topk(
     c_assigned = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         assign(F.col(vec_col)).alias("cid"),
     )
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(probe_maker(nprobe)(F.col(vec_col))).alias("cid"),
     )
     cand = c_assigned.join(F.broadcast(q_assigned), "cid").filter(
         F.col("match_id") != F.col("query_id")
     )
-    return rerank_topk(cand, k)
+    return rerank_topk(cand, k, qn_col="__qn", cn_col="__cn")
 
 
 # ---------------------------------------------------------------------------

@@ -590,15 +590,34 @@ def q_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    # the class is an EXPLICIT join column: left as a predicate
+    # (id_a % 16 == id_b % 16) Spark planned a nested-loop join over
+    # all |corpus|^2 pairs (measured 8.2 s at sf0.1 vs 0.9 s hashed)
+    from ..functions.vectors import dot, norm
+
+    # norms are computed ONCE per vector before the join (narrow
+    # projection) instead of once per candidate pair — identical
+    # doubles (same fold over the same array), ~3x less expression
+    # work on the pair stream
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") % 16).alias("cls"),
+        F.col("embedding").alias("__va"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        (F.col("vec_id") % 16).alias("cls"),
+        F.col("embedding").alias("__vb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return (
-        a.join(
-            b,
-            (F.col("id_a") % 16 == F.col("id_b") % 16)
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        a.join(b, "cls")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
         # 0.35 (vs the LSH query's 0.45): the synthetic corpus's max
         # within-class cosine at sf0.01 is ~0.44 — this keeps the
         # driver row non-empty (13 pairs) at its check scale
