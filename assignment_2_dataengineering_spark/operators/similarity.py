@@ -185,12 +185,25 @@ def embedding_near_dupes(
     # candidate pairs without a self-join (see dedup.bucket_pairs), then
     # exact-cosine verification on candidates only
     cand = bucket_pairs(bk, id_col)
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # norms precomputed per vector (narrow), one dot fold per pair —
+    # identical doubles, see rerank_topk
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
