@@ -145,9 +145,8 @@ def lsh_topk(
     return rerank_topk(cand, k, qv_col="__queryv", cv_col="__matchv")
 
 
-def embedding_near_dupes(
+def vector_band_buckets(
     vectors: DataFrame,
-    threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -155,10 +154,11 @@ def embedding_near_dupes(
     bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup modality #5):
-    LSH-bucketed candidate pairs verified by exact cosine ≥ threshold."""
-    from .dedup import bucket_pairs
-
+    """(id, band, bucket) hyperplane-LSH band rows for a vector table —
+    the banding half of embedding_near_dupes, factored so the streaming
+    incremental index (streaming/embedding_index.py) bands each batch
+    with EXACTLY the code the batch operator uses. Narrow (explode per
+    band), no shuffle."""
     rows = n_planes // bands
     # Materialize the sign-bit array once per row (Generate barrier —
     # CollapseProject would otherwise inline one full hyperplane-fold
@@ -179,20 +179,35 @@ def embedding_near_dupes(
             for b in range(bands)
         ]
     )
-    bk = sig.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # candidate pairs without a self-join (see dedup.bucket_pairs), then
-    # exact-cosine verification on candidates only
-    cand = bucket_pairs(bk, id_col)
-    # norms precomputed per vector (narrow), one dot fold per pair —
-    # identical doubles, see rerank_topk
-    va = vectors.select(
+
+
+def verify_cosine_pairs(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of candidate (id_a, id_b) pairs against
+    a vector table: only vectors appearing in a candidate pair are
+    scored (left-semi restriction), norms precomputed per vector, one
+    dot fold per pair. The verify half of embedding_near_dupes, shared
+    with the streaming incremental index."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    vv = vectors.join(cand_ids, id_col, "left_semi")
+    va = vv.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         norm(F.col(vec_col)).alias("__na"),
     )
-    vb = vectors.select(
+    vb = vv.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),
@@ -201,12 +216,33 @@ def embedding_near_dupes(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
-        cand.join(va, "id_a")
+        candidates.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def embedding_near_dupes(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup modality #5):
+    LSH-bucketed candidate pairs verified by exact cosine ≥ threshold."""
+    from .dedup import bucket_pairs
+
+    bk = vector_band_buckets(vectors, id_col, vec_col, dim, n_planes, bands, seed)
+    # candidate pairs without a self-join (see dedup.bucket_pairs), then
+    # exact-cosine verification on candidates only
+    cand = bucket_pairs(bk, id_col)
+    return verify_cosine_pairs(cand, vectors, threshold, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

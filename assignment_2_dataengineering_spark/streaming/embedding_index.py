@@ -1,0 +1,127 @@
+"""Incremental embedding near-duplicate detection against a persisted
+hyperplane-LSH index — dedup modality #5's streaming tier, the exact
+counterpart of streaming/dedup_index.py for vectors: embeddings arrive
+in micro-batches (a crawler's encoder output, a feature-store feed) and
+each batch is checked against EVERYTHING seen so far without ever
+re-scoring the historical corpus.
+
+Per batch (a foreachBatch worker, so it composes with any streaming
+source):
+  1. band the new vectors (operators/similarity.vector_band_buckets —
+     the same code the batch operator embedding_near_dupes uses;
+     narrow, no shuffle);
+  2. probe the persisted bucket table for rows sharing a (band, bucket)
+     with the batch — a semi-join touching only colliding history;
+  3. expand candidates (dedup.bucket_pairs — skew-capped, never a
+     self-join) and keep pairs with ≥ 1 new vector (old-old pairs were
+     reported by the batch that introduced them);
+  4. verify with exact cosine (similarity.verify_cosine_pairs) over
+     the new vectors + only the colliding old vectors;
+  5. append: bucket rows + vectors to the index, confirmed pairs to
+     the pairs log.
+
+Exactly-once: foreachBatch re-runs a batch after failures, so the
+worker records the last applied batch_id and turns replays into no-ops
+(the same high-water-mark idempotence as dedup_index). State growth is
+the bucket table (`bands` rows/vector, 24 B each) and the vector store
+— at 100 TB both are date-partitioned parquet compacted by
+io.compact_parquet; the probe stays cheap because it is keyed on
+(band, bucket).
+
+No reference analog; this is the engine's similarity tier meeting its
+streaming tier — replay-idempotence ≡ one-shot embedding_near_dupes is
+pinned in tests/test_embedding_index.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import bucket_pairs
+from ..operators.similarity import vector_band_buckets, verify_cosine_pairs
+
+_META = "_last_batch.json"
+
+
+def _read_or_none(spark, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def incremental_embedding_near_dup_batch(
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.45,
+    max_bucket_size: int | None = 64,
+):
+    """Returns the (batch_df, batch_id) foreachBatch worker described in
+    the module docstring. Layout under `index_dir`: buckets/ vecs/
+    pairs/ plus a batch high-water-mark for replay idempotence."""
+    buckets_path = os.path.join(index_dir, "buckets")
+    vecs_path = os.path.join(index_dir, "vecs")
+    pairs_path = os.path.join(index_dir, "pairs")
+    meta_path = os.path.join(index_dir, _META)
+
+    def worker(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if batch_id <= json.load(f)["last_batch"]:
+                    return  # replayed batch — already applied
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, vec_col)
+
+        new_buckets = vector_band_buckets(
+            batch_df, id_col, vec_col, dim, n_planes, bands, seed
+        )
+        old_buckets = _read_or_none(spark, buckets_path)
+        old_vecs = _read_or_none(spark, vecs_path)
+
+        if old_buckets is not None:
+            colliding_old = old_buckets.join(
+                new_buckets.select("band", "bucket").distinct(),
+                ["band", "bucket"],
+                "left_semi",
+            )
+            probe = new_buckets.unionByName(colliding_old)
+        else:
+            probe = new_buckets
+
+        candidates = bucket_pairs(probe, id_col, max_bucket_size)
+        new_ids = batch_df.select(F.col(id_col).alias("id_a")).distinct()
+        candidates = candidates.join(
+            new_ids.unionByName(
+                batch_df.select(F.col(id_col).alias("id_b")).distinct(),
+                allowMissingColumns=True,
+            ).select(
+                F.coalesce("id_a", "id_b").alias("_new_id")
+            ).distinct(),
+            (F.col("id_a") == F.col("_new_id")) | (F.col("id_b") == F.col("_new_id")),
+            "left_semi",
+        )
+
+        corpus = batch_df if old_vecs is None else batch_df.unionByName(old_vecs)
+        confirmed = verify_cosine_pairs(
+            candidates, corpus, threshold, id_col, vec_col
+        )
+        confirmed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_path
+        )
+        new_buckets.write.mode("append").parquet(buckets_path)
+        batch_df.write.mode("append").parquet(vecs_path)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch": batch_id}, f)
+        os.replace(tmp, meta_path)
+
+    return worker
