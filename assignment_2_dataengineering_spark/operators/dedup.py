@@ -511,22 +511,22 @@ def simhash_pairs(
     )
 
 
-def hamming_pairs64(
+def hamming_band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     max_hamming: int = 8,
     blocks: int | None = None,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Generic 64-bit-signature Hamming near-dup pairs — the banded
-    self-join half of simhash_pairs, factored so any 64-bit fingerprint
-    (SimHash text sigs, perceptual media hashes) reuses the same
-    complete pigeonhole banding + streamed verify. Input is (id, sig
-    long) with `sig` ALREADY materialized (behind a Generate barrier if
-    it came from a wide expression — see simhash_pairs); this function
-    only shifts/masks it. Completeness, skew cap, and scale rationale:
-    see simhash_pairs' docstring."""
+    """(id, sig, band, bucket) pigeonhole block rows for 64-bit
+    signatures — the banding half of hamming_pairs64, factored so the
+    streaming incremental index (streaming/hamming_index.py) bands each
+    batch with EXACTLY the batch operator's code. blocks defaults to
+    max_hamming + 1, the completeness bound: two signatures within
+    Hamming distance max_hamming MUST agree on at least one contiguous
+    block, so block-bucket collision is a complete candidate generator.
+    Narrow (explode per block), no shuffle; the signature rides along
+    (8 bytes) so verification never re-reads the source."""
     if blocks is None:
         blocks = max_hamming + 1
     if blocks <= max_hamming:
@@ -547,9 +547,30 @@ def hamming_pairs64(
             for bi in range(blocks)
         ]
     )
-    buckets = sigs.select(F.col(id_col), F.col(sig_col), F.explode(block_cols).alias("bb")).select(
+    return sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(block_cols).alias("bb")
+    ).select(
         id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def hamming_pairs64(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 8,
+    blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic 64-bit-signature Hamming near-dup pairs — the banded
+    self-join half of simhash_pairs, factored so any 64-bit fingerprint
+    (SimHash text sigs, perceptual media hashes) reuses the same
+    complete pigeonhole banding + streamed verify. Input is (id, sig
+    long) with `sig` ALREADY materialized (behind a Generate barrier if
+    it came from a wide expression — see simhash_pairs); this function
+    only shifts/masks it. Completeness, skew cap, and scale rationale:
+    see simhash_pairs' docstring."""
+    buckets = hamming_band_buckets(sigs, id_col, sig_col, max_hamming, blocks)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col).asc())
         buckets = (

@@ -1,0 +1,115 @@
+"""Incremental streaming Hamming (SimHash/pHash) near-dup index:
+cross-batch detection, replay idempotence, and the headline equivalence
+— the worker over any batch partitioning of a signature set finds
+exactly the pairs one-shot hamming_pairs64 finds on the full set."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from assignment_2_dataengineering_spark.operators.dedup import hamming_pairs64
+from assignment_2_dataengineering_spark.streaming.hamming_index import (
+    incremental_hamming_near_dup_batch,
+)
+
+# planted signatures: same group-base + bit-flip construction as
+# q_dedup_simhash_verify — within-group pairs at Hamming <= 4
+_SIG = (
+    "((doc_id % 7) * 1103515245 + 12345) % 2305843009213693952 ^ "
+    "(CASE WHEN doc_id DIV 7 = 0 THEN 0 ELSE "
+    "shiftleft(1L, CAST((doc_id DIV 7) * 7 % 61 AS INT)) ^ "
+    "shiftleft(1L, CAST((doc_id DIV 7) * 13 % 61 AS INT)) END)"
+)
+
+
+def _sigs(spark, n=42):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long").select(
+        "doc_id", F.expr(_SIG).alias("sig")
+    )
+
+
+def _pairs(spark, index_dir):
+    p = os.path.join(index_dir, "pairs")
+    if not os.path.exists(p):
+        return set()
+    return {(r["id_a"], r["id_b"]) for r in spark.read.parquet(p).collect()}
+
+
+def test_incremental_equals_one_shot_batch(spark, tmp_path):
+    sigs = _sigs(spark)
+    index_dir = str(tmp_path / "hidx")
+    worker = incremental_hamming_near_dup_batch(
+        index_dir, max_hamming=4, max_bucket_size=None
+    )
+    for bid, pred in enumerate(
+        [F.col("doc_id") < 15, (F.col("doc_id") >= 15) & (F.col("doc_id") < 30),
+         F.col("doc_id") >= 30]
+    ):
+        worker(sigs.filter(pred), bid)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs64(sigs, max_hamming=4).collect()
+    }
+    assert want, "fixture must plant near-dup pairs"
+    assert _pairs(spark, index_dir) == want
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    sigs = _sigs(spark)
+    index_dir = str(tmp_path / "hidx2")
+    worker = incremental_hamming_near_dup_batch(
+        index_dir, max_hamming=4, max_bucket_size=None
+    )
+    worker(sigs.filter(F.col("doc_id") % 2 == 0), 0)
+    worker(sigs.filter(F.col("doc_id") % 2 == 1), 1)
+    before = _pairs(spark, index_dir)
+    worker(sigs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    worker(sigs.filter(F.col("doc_id") % 2 == 0), 0)  # out-of-order replay
+    assert _pairs(spark, index_dir) == before
+    with open(os.path.join(index_dir, "_last_batch.json")) as f:
+        assert json.load(f)["last_batch"] == 1
+
+
+def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
+    """parquet chunks → readStream → foreachBatch(worker) equals the
+    one-shot batch pair set."""
+    import shutil
+
+    sigs = _sigs(spark)
+    src = tmp_path / "sig_stream"
+    src.mkdir()
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for bid in range(3):
+        sub = src / f"b{bid}"
+        sigs.filter(F.col("doc_id") % 3 == bid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(sub))
+        for fn in sorted(sub.glob("*.parquet")):
+            shutil.copy(fn, flat / f"{n:03d}.parquet")
+            n += 1
+    index_dir = str(tmp_path / "hidx3")
+    worker = incremental_hamming_near_dup_batch(
+        index_dir, max_hamming=4, max_bucket_size=None
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, sig long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        stream.writeStream.foreachBatch(worker)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs64(sigs, max_hamming=4).collect()
+    }
+    assert _pairs(spark, index_dir) == want
