@@ -2150,3 +2150,115 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             benford[F.col("digit")].alias("benford_share"),
         )
     )
+
+
+@register(
+    "q_ols_exact",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x1,
+               CAST(floor(l_discount * 100) AS HUGEINT) AS x2,
+               CAST(floor(l_extendedprice) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(x1) AS sx1, sum(x2) AS sx2,
+               sum(x1 * x1) AS sx11, sum(x1 * x2) AS sx12,
+               sum(x2 * x2) AS sx22,
+               sum(y) AS sy, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+        FROM f
+    ),
+    d AS (
+        SELECT n,
+               n * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+               sy * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1y * sx22 - sx12 * sx2y)
+             + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+               n * (sx1y * sx22 - sx12 * sx2y)
+             - sy * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+               n * (sx11 * sx2y - sx1y * sx12)
+             - sx1 * (sx1 * sx2y - sx1y * sx2)
+             + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS intercept,
+           round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS coef_quantity,
+           round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS coef_discount
+    FROM d
+    """,
+    tags=("ml", "agg", "iterative"),
+)
+def q_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT multi-feature OLS by normal equations — the distributed
+    closed-form regression trainer: ONE aggregate pass over the fact
+    table accumulates the integer Gram matrix XᵀX and moment vector
+    Xᵀy (features are small integers — quantity, discount points — so
+    every sum is exact in 64-bit on the Spark side), the 3×3 system
+    solves by Cramer's rule on the DRIVER in arbitrary-precision
+    Python ints (a 9-number row crossing the wire — the same
+    driver-literal discipline as the BPE argmax and IVF centroids),
+    and the coefficient divisions convert determinant to double
+    exactly like the oracle's HUGEINT→DOUBLE casts, so the comparison
+    is hash-exact — unlike gradient-descent trainers, whose float
+    accumulation order can never match across engines. Scale shape:
+    the only distributed work is a 9-column partial-aggregated scan;
+    at 100 TB this is the cheapest possible trainer — no iteration,
+    no shuffle beyond the 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    g = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    ).first()
+    n, sx1, sx2 = int(g["n"]), int(g["sx1"]), int(g["sx2"])
+    sx11, sx12, sx22 = int(g["sx11"]), int(g["sx12"]), int(g["sx22"])
+    sy, sx1y, sx2y = int(g["sy"]), int(g["sx1y"]), int(g["sx2y"])
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    # float(det_i)/float(det): two correctly-rounded conversions + one
+    # division — the SAME rounding path as the oracle's
+    # CAST(HUGEINT AS DOUBLE) quotient, so results match bitwise
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(float(det0) / float(det), 6),
+                round(float(det1) / float(det), 6),
+                round(float(det2) / float(det), 6),
+            )
+        ],
+        "n_rows long, intercept double, coef_quantity double, coef_discount double",
+    )
