@@ -208,3 +208,46 @@ def ntile_from_rank(rank_col: str, n_col: str, tiles: int) -> Column:
         f" THEN ({rank_col} + {q}) DIV ({q} + 1)"
         f" ELSE {r} + ({rank_col} - {big} + {q} - 1) DIV {q} END AS INT)"
     )
+
+
+def two_phase_prefix_sum(
+    df: DataFrame,
+    order_by: list[tuple[str, bool]],
+    value_col: str,
+    out_col: str = "cum_before",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of `value_col` over a total order, without
+    a single-partition window — the prefix-sum sibling of
+    two_phase_global_rank: range-partition on the sort order, sum each
+    range partition's total, prefix-sum the ≤|partitions| totals into
+    broadcast offsets, then a distributed within-partition running sum
+    + offset. `out_col` = Σ value over all rows STRICTLY BEFORE the row
+    in the total order (0 for the first row). `order_by` must be a
+    total order for a deterministic result."""
+    from pyspark.sql import Window
+
+    sort_cols = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by]
+    if partitions is None:
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w_in), F.lit(0)) + F.col("_off"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -2262,3 +2262,80 @@ def q_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, intercept double, coef_quantity double, coef_discount double",
     )
+
+
+@register(
+    "q_auc_rank",
+    oracle="""
+    WITH s AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM s GROUP BY score
+    ),
+    c AS (
+        SELECT score, cnt, pos,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS num2,
+               CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(cnt - pos) AS BIGINT) AS nn
+        FROM c
+    )
+    SELECT p AS n_pos, nn AS n_neg,
+           round((num2 - p * (p + 1.0)) / (2.0 * p * nn), 6) AS auc
+    FROM t
+    """,
+    tags=("ml", "eval", "stats"),
+)
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC as the Mann–Whitney rank statistic, tie-correct
+    and fully distributed: does `value` separate purchases from clicks?
+    AUC = (Σ_+ avgrank − P(P+1)/2) / (P·N) with average ranks over tied
+    scores. The rank sum never materializes per-row ranks: scores
+    aggregate to a (score, cnt, pos) table (1 shuffle, map-side
+    combined), the exclusive cumulative count comes from
+    two_phase_prefix_sum (range shuffle + broadcast offsets — NO
+    single-partition window over the |distinct scores| table, which is
+    fact-cardinality for a real model's float scores), and the tie-
+    averaged rank sum folds into one integer: Σ pos·(2·cum+cnt+1) =
+    2·Σ_+ avgrank. One integer division at the end → bit-stable at 6dp
+    cross-engine — the evaluation-harness AUC next to q_eval_metrics'
+    thresholded confusion matrix."""
+    from ..operators.sampling import two_phase_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    c = two_phase_prefix_sum(g, [("score", True)], "cnt", "cum_before")
+    t = c.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("num2"),
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
+    )
+    return t.select(
+        F.col("p").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("num2") - F.col("p") * (F.col("p") + 1.0))
+            / (2.0 * F.col("p") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

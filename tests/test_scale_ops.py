@@ -507,3 +507,70 @@ def test_ntile_from_rank_matches_sql_ntile(spark, duck):
             .collect()
         ]
         assert got == want, (n, got, want)
+
+
+def test_two_phase_prefix_sum_equals_window(spark):
+    from pyspark.sql import Window
+
+    from assignment_2_dataengineering_spark.operators.sampling import (
+        two_phase_prefix_sum,
+    )
+
+    rows = [(i, (i * 31) % 13, (i % 5) + 1) for i in range(61)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    order = [("k", True), ("id", False)]
+    cols = [F.col("k").asc(), F.col("id").desc()]
+    w = Window.orderBy(*cols).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    for parts in (1, 5, 200):
+        got = {
+            r["id"]: r["cum_before"]
+            for r in two_phase_prefix_sum(df, order, "v", partitions=parts).collect()
+        }
+        assert got == want, parts
+
+
+def test_auc_rank_formula_against_pairwise_definition(spark, tmp_path):
+    """AUC == P(score_pos > score_neg) + 0.5*P(tie), brute-forced over
+    all pos x neg pairs on a small hand set with heavy ties — pins the
+    tie-averaged rank formula independent of the SQL oracle. Also the
+    two degenerate anchors: perfect separation -> 1.0, identical
+    scores -> 0.5."""
+    import datetime as dt
+    import itertools
+
+    from assignment_2_dataengineering_spark.plans.queries_analytic import q_auc_rank
+
+    def run(scores_pos, scores_neg):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0, 1, "purchase", float(s), "{}")
+            for i, s in enumerate(scores_pos)
+        ] + [
+            (1000 + i, t0, 2, "click", float(s), "{}")
+            for i, s in enumerate(scores_neg)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="auc_")
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return q_auc_rank(spark, d).collect()[0]["auc"]
+
+    pos = [0.9, 0.8, 0.8, 0.5, 0.5, 0.3]
+    neg = [0.8, 0.5, 0.5, 0.5, 0.2, 0.1, 0.1]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    assert abs(run(pos, neg) - round(wins / (len(pos) * len(neg)), 6)) < 1e-9
+    assert run([2.0, 3.0], [0.5, 1.0]) == 1.0
+    assert run([1.0, 1.0], [1.0, 1.0, 1.0]) == 0.5
