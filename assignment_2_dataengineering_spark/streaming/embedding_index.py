@@ -17,12 +17,19 @@ source):
      reported by the batch that introduced them);
   4. verify with exact cosine (similarity.verify_cosine_pairs) over
      the new vectors + only the colliding old vectors;
-  5. append: bucket rows + vectors to the index, confirmed pairs to
-     the pairs log.
+  5. publish: bucket rows + vectors + confirmed pairs land in
+     batch_id-scoped partition directories (overwrite, not append), so
+     a crash between the writes and the high-water-mark commit makes
+     the redelivered batch REPLACE its partial output.
 
-Exactly-once: foreachBatch re-runs a batch after failures, so the
-worker records the last applied batch_id and turns replays into no-ops
-(the same high-water-mark idempotence as dedup_index). State growth is
+Exactly-once: the high-water-mark makes LATE replays no-ops, and the
+batch-scoped overwrites make the crash-window redelivery (outputs
+written, HWM not committed) idempotent; redelivered ids' stale indexed
+copies are anti-joined out of the probe so nothing pairs with itself.
+Equivalence to the one-shot batch operator holds for UNCAPPED runs;
+with max_bucket_size the per-batch cap keeps different bucket
+survivors than a one-shot cap would, and the pinned contract is
+capped-pairs ⊆ uncapped-pairs (see the hamming sibling's test). State growth is
 the bucket table (`bands` rows/vector, 24 B each) and the vector store
 — at 100 TB both are date-partitioned parquet compacted by
 io.compact_parquet; the probe stays cheap because it is keyed on
@@ -47,9 +54,13 @@ from ..operators.similarity import vector_band_buckets, verify_cosine_pairs
 _META = "_last_batch.json"
 
 
-def _read_or_none(spark, path: str) -> DataFrame | None:
+def _read_or_none(spark, path: str, cols: list[str] | None = None) -> DataFrame | None:
+    """Read a (possibly batch_id-partitioned) index table, projecting
+    away the partition column so unions with in-flight batch frames
+    line up."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return df.select(*cols) if cols else df
     except Exception:
         return None
 
@@ -84,41 +95,60 @@ def incremental_embedding_near_dup_batch(
         new_buckets = vector_band_buckets(
             batch_df, id_col, vec_col, dim, n_planes, bands, seed
         )
-        old_buckets = _read_or_none(spark, buckets_path)
-        old_vecs = _read_or_none(spark, vecs_path)
+        old_buckets = _read_or_none(spark, buckets_path, [id_col, "band", "bucket"])
+        old_vecs = _read_or_none(spark, vecs_path, [id_col, vec_col])
 
+        # ids being re-delivered after a mid-batch crash already sit in
+        # the index: drop their STALE indexed copies from the probe and
+        # the verification corpus, or x would pair with its own copy
+        batch_ids = batch_df.select(id_col).distinct()
         if old_buckets is not None:
             colliding_old = old_buckets.join(
                 new_buckets.select("band", "bucket").distinct(),
                 ["band", "bucket"],
                 "left_semi",
-            )
+            ).join(batch_ids, id_col, "left_anti")
             probe = new_buckets.unionByName(colliding_old)
         else:
             probe = new_buckets
 
         candidates = bucket_pairs(probe, id_col, max_bucket_size)
-        new_ids = batch_df.select(F.col(id_col).alias("id_a")).distinct()
-        candidates = candidates.join(
-            new_ids.unionByName(
-                batch_df.select(F.col(id_col).alias("id_b")).distinct(),
-                allowMissingColumns=True,
-            ).select(
-                F.coalesce("id_a", "id_b").alias("_new_id")
-            ).distinct(),
-            (F.col("id_a") == F.col("_new_id")) | (F.col("id_b") == F.col("_new_id")),
-            "left_semi",
+        # keep pairs touching ≥1 NEW vector: two hash semi-joins +
+        # distinct (an OR-predicate semi-join can only plan as a
+        # nested loop — candidate_count × batch_ids work per batch)
+        new_ids = batch_df.select(id_col).distinct()
+        candidates = (
+            candidates.join(
+                new_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+            )
+            .unionByName(
+                candidates.join(
+                    new_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+                )
+            )
+            .distinct()
         )
 
-        corpus = batch_df if old_vecs is None else batch_df.unionByName(old_vecs)
+        corpus = (
+            batch_df
+            if old_vecs is None
+            else batch_df.unionByName(
+                old_vecs.join(batch_ids, id_col, "left_anti")
+            )
+        )
         confirmed = verify_cosine_pairs(
             candidates, corpus, threshold, id_col, vec_col
         )
-        confirmed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_path
+        # batch-scoped partition overwrites: crash-then-redeliver
+        # replaces partial output instead of double-appending (see
+        # dedup_index.py — the HWM stays required for late replays)
+        confirmed.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
         )
-        new_buckets.write.mode("append").parquet(buckets_path)
-        batch_df.write.mode("append").parquet(vecs_path)
+        new_buckets.write.mode("overwrite").parquet(
+            f"{buckets_path}/batch_id={batch_id}"
+        )
+        batch_df.write.mode("overwrite").parquet(f"{vecs_path}/batch_id={batch_id}")
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"last_batch": batch_id}, f)

@@ -18,13 +18,17 @@ Per batch (a foreachBatch worker):
      normalize id_a < id_b, drop old-old pairs (reported by the batch
      that introduced them), verify bit_count(xor) ≤ max_hamming,
      distinct;
-  4. append: block rows to the index, confirmed pairs to the pairs log.
+  4. publish: block rows + confirmed pairs land in batch_id-scoped
+     partition directories (overwrite, not append) — crash-window
+     redelivery replaces partial output.
 
-Exactly-once: the batch high-water-mark turns foreachBatch replays into
-no-ops (same contract as dedup_index/embedding_index). State growth is
-blocks rows/signature at 24 B each — date-partition + compact at scale.
-Replay-equivalence to one-shot hamming_pairs64 is pinned in
-tests/test_hamming_index.py.
+Exactly-once: the high-water-mark makes late replays no-ops; batch-
+scoped overwrites make crash-window redelivery idempotent (pinned).
+State growth is blocks rows/signature at 24 B each — date-partition +
+compact at scale. Equivalence to one-shot hamming_pairs64 holds for
+UNCAPPED runs and is pinned in tests/test_hamming_index.py; with
+max_bucket_size the per-batch cap keeps different bucket survivors
+than a one-shot cap, and the pinned contract is capped ⊆ uncapped.
 """
 
 from __future__ import annotations
@@ -40,9 +44,13 @@ from ..operators.dedup import hamming_band_buckets
 _META = "_last_batch.json"
 
 
-def _read_or_none(spark, path: str) -> DataFrame | None:
+def _read_or_none(spark, path: str, cols: list[str] | None = None) -> DataFrame | None:
+    """Read a (possibly batch_id-partitioned) index table, projecting
+    away the partition column so unions with in-flight batch frames
+    line up."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return df.select(*cols) if cols else df
     except Exception:
         return None
 
@@ -73,13 +81,20 @@ def incremental_hamming_near_dup_batch(
         new_buckets = hamming_band_buckets(
             batch_df, id_col, sig_col, max_hamming, blocks
         )
-        old_buckets = _read_or_none(spark, buckets_path)
+        old_buckets = _read_or_none(
+            spark, buckets_path, [id_col, sig_col, "band", "bucket"]
+        )
+        # crash-redelivered ids already sit in the index — drop their
+        # stale copies from the probe (the strict id_a < id_b filter
+        # already excludes self-pairs, but duplicates would double-
+        # count candidate work)
+        batch_ids = batch_df.select(id_col).distinct()
         if old_buckets is not None:
             colliding_old = old_buckets.join(
                 new_buckets.select("band", "bucket").distinct(),
                 ["band", "bucket"],
                 "left_semi",
-            )
+            ).join(batch_ids, id_col, "left_anti")
             probe = new_buckets.withColumn(
                 "__new", F.lit(True)
             ).unionByName(colliding_old.withColumn("__new", F.lit(False)))
@@ -123,10 +138,15 @@ def incremental_hamming_near_dup_batch(
             .select("id_a", "id_b", hamming.alias("hamming"))
             .distinct()
         )
-        confirmed.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_path)
-        new_buckets.write.mode("append").parquet(buckets_path)
+        # batch-scoped partition overwrites: crash-then-redeliver
+        # replaces partial output instead of double-appending (see
+        # dedup_index.py — the HWM stays required for late replays)
+        confirmed.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        new_buckets.write.mode("overwrite").parquet(
+            f"{buckets_path}/batch_id={batch_id}"
+        )
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"last_batch": batch_id}, f)

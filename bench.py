@@ -71,10 +71,13 @@ def main() -> None:
 
     def _run_stream(build):
         """build(spark) -> (streaming_writer_ready_to_start, n_events);
-        returns events/sec through the started query, or None."""
+        returns events/sec through the started query, or None. The
+        clock starts AFTER build() returns: fixture generation (replay
+        chunk writes, the documents re-partition) is setup, not engine
+        throughput — timing it understated the stream numbers."""
         try:
-            t0 = time.perf_counter()
             writer, n = build(spark)
+            t0 = time.perf_counter()
             q = writer.option(
                 "checkpointLocation", tempfile.mkdtemp(prefix="bench_ckpt_")
             ).start()

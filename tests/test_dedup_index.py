@@ -124,3 +124,22 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
         for r in minhash_lsh_pairs(_mkdf(spark, list(DOCS)), **PARAMS).collect()
     }
     assert got == want
+
+
+def test_crash_before_hwm_commit_then_redelivery_is_clean(spark, tmp_path):
+    """The crash window between the batch's output writes and the
+    high-water-mark commit: redelivery must overwrite the batch-scoped
+    partitions (no double-append) and must not pair a redelivered doc
+    with its own stale indexed copy."""
+    import os
+
+    index_dir = str(tmp_path / "ndidx_crash")
+    worker = incremental_near_dup_batch(index_dir, **PARAMS)
+    worker(_mkdf(spark, BATCHES[0]), 0)
+    worker(_mkdf(spark, BATCHES[1]), 1)
+    before = _pairs(spark, index_dir)
+    n_docs = spark.read.parquet(os.path.join(index_dir, "docs")).count()
+    os.remove(os.path.join(index_dir, "_last_batch.json"))  # "crash"
+    worker(_mkdf(spark, BATCHES[1]), 1)  # redelivery
+    assert _pairs(spark, index_dir) == before
+    assert spark.read.parquet(os.path.join(index_dir, "docs")).count() == n_docs

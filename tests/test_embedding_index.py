@@ -125,3 +125,24 @@ def test_streaming_foreachbatch_end_to_end(spark, sf_dir, tmp_path):
         for r in embedding_near_dupes(vecs, **PARAMS).collect()
     }
     assert _pairs(spark, index_dir) == want
+
+
+def test_crash_before_hwm_commit_then_redelivery_is_clean(spark, sf_dir, tmp_path):
+    """Crash window: outputs written, HWM not committed (meta deleted).
+    Redelivery overwrites batch-scoped partitions — no double-append in
+    pairs, vecs, or buckets."""
+    vecs = _vectors(spark, sf_dir)
+    index_dir = str(tmp_path / "embidx4")
+    worker = incremental_embedding_near_dup_batch(
+        index_dir, max_bucket_size=None, **PARAMS
+    )
+    b0 = vecs.filter(F.col("vec_id") % 2 == 0)
+    b1 = vecs.filter(F.col("vec_id") % 2 == 1)
+    worker(b0, 0)
+    worker(b1, 1)
+    before = _pairs(spark, index_dir)
+    n_vecs = spark.read.parquet(os.path.join(index_dir, "vecs")).count()
+    os.remove(os.path.join(index_dir, "_last_batch.json"))  # "crash"
+    worker(b1, 1)  # redelivery
+    assert _pairs(spark, index_dir) == before
+    assert spark.read.parquet(os.path.join(index_dir, "vecs")).count() == n_vecs

@@ -113,3 +113,43 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
         for r in hamming_pairs64(sigs, max_hamming=4).collect()
     }
     assert _pairs(spark, index_dir) == want
+
+
+def test_crash_before_hwm_commit_then_redelivery_is_clean(spark, tmp_path):
+    """The crash window the batch-scoped overwrites exist for: outputs
+    written but the high-water-mark not yet committed. Simulated by
+    deleting the meta file after a successful batch — redelivery must
+    OVERWRITE batch_id=N, not double-append."""
+    import os
+
+    sigs = _sigs(spark)
+    index_dir = str(tmp_path / "hidx4")
+    worker = incremental_hamming_near_dup_batch(
+        index_dir, max_hamming=4, max_bucket_size=None
+    )
+    worker(sigs.filter(F.col("doc_id") < 20), 0)
+    worker(sigs.filter(F.col("doc_id") >= 20), 1)
+    before = _pairs(spark, index_dir)
+    n_buckets = spark.read.parquet(os.path.join(index_dir, "buckets")).count()
+    os.remove(os.path.join(index_dir, "_last_batch.json"))  # "crash"
+    worker(sigs.filter(F.col("doc_id") >= 20), 1)  # redelivery
+    assert _pairs(spark, index_dir) == before
+    assert (
+        spark.read.parquet(os.path.join(index_dir, "buckets")).count() == n_buckets
+    )
+
+
+def test_capped_pairs_subset_of_uncapped(spark, tmp_path):
+    """max_bucket_size is a per-batch skew guard, not an equivalence-
+    preserving knob: the capped pair set must be a SUBSET of the
+    uncapped one (cap keeps the lowest ids per block bucket, so every
+    surviving pair exists uncapped too)."""
+    sigs = _sigs(spark)
+    d1, d2 = str(tmp_path / "u"), str(tmp_path / "c")
+    wu = incremental_hamming_near_dup_batch(d1, max_hamming=4, max_bucket_size=None)
+    wc = incremental_hamming_near_dup_batch(d2, max_hamming=4, max_bucket_size=3)
+    for bid, pred in enumerate([F.col("doc_id") < 20, F.col("doc_id") >= 20]):
+        wu(sigs.filter(pred), bid)
+        wc(sigs.filter(pred), bid)
+    capped, uncapped = _pairs(spark, d2), _pairs(spark, d1)
+    assert capped <= uncapped

@@ -301,9 +301,13 @@ def _single_partition_window_sorts(plan: str) -> list[str]:
         r"^(Sort|Project|Filter|Window|WindowGroupLimit|AQEShuffleRead|"
         r"InputAdapter|WholeStageCodegen|ColumnarToRow|Coalesce)\b"
     )
+    # post-execution AQE final plans prefix codegen'd nodes with
+    # "*(n) " — strip it or the node/spine matches silently miss and
+    # the audit passes vacuously on executed plans
+    star = _re.compile(r"^\*\(\d+\) ")
     flagged = []
     for i, ln in enumerate(lines):
-        m = _re.match(r"^([ :|+-]*)(Window |Sort \[)", ln)
+        m = _re.match(r"^([ :|+-]*)(\*\(\d+\) )?(Window |Sort \[)", ln)
         if not m:
             continue
         depth = len(m.group(1))
@@ -313,11 +317,12 @@ def _single_partition_window_sorts(plan: str) -> list[str]:
             if not mm:
                 break
             d, body = len(mm.group(1)), mm.group(2)
+            body = star.sub("", body)
             if d < expected:
                 break  # left the subtree
             if d > expected:
                 continue  # deeper than the spine (other child's subtree)
-            if body.startswith("Exchange"):
+            if body.startswith("Exchange") or body.startswith("ReusedExchange"):
                 if "SinglePartition" in body:
                     flagged.append(ln.strip())
                 break
