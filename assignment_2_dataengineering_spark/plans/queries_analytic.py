@@ -2270,6 +2270,7 @@ def q_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_auc_rank",
+    bench=True,  # the two-phase prefix-sum rank path
     oracle="""
     WITH s AS (
         SELECT value AS score,

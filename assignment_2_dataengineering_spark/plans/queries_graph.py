@@ -137,6 +137,7 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangle_count",
+    bench=True,  # the hub-safe 3-way self-join path
     oracle=f"""
     WITH {_EDGES_CTE},
     ud AS (
