@@ -429,3 +429,65 @@ def test_bpe_matches_reference_on_random_corpora(spark, docs, n):
     ]
     want = _reference_bpe(non_empty, n) if non_empty else []
     assert got == want[: len(got)] and len(got) == len(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_orientation_matches_bruteforce(spark, edges):
+    """Degree-ordered orientation counts triangles exactly on random
+    multigraphs with self-loops and duplicate/hub edges: equals the
+    canonical a<b<c brute force computed in Python."""
+    import itertools
+
+    from assignment_2_dataengineering_spark.operators.graph import (  # noqa: F401
+        pagerank,  # anchor import so the module path stays exercised
+    )
+
+    ud = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in ud for x in e})
+    want_tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in ud and (a, c) in ud and (b, c) in ud
+    )
+    deg = {v: sum(1 for e in ud if v in e) for v in nodes}
+    want_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    if not ud:
+        return  # empty graph: nothing to assert beyond vacuous zero
+    df = spark.createDataFrame(sorted(ud), "a long, b long")
+    # replicate the registered query's oriented plan inline over an
+    # explicit edge table (the query itself derives edges from events)
+    dd = (
+        df.select(F.col("a").alias("node"))
+        .unionByName(df.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = dd.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = dd.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    withd = df.join(da, "a").join(db, "b")
+    o = withd.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    got_tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"], "left_semi").count()
+    )
+    got_wedges = dd.agg(
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("w")
+    ).first()["w"]
+    assert got_tri == want_tri
+    assert got_wedges == want_wedges
