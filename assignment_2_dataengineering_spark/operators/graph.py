@@ -69,6 +69,11 @@ def pagerank(
         .persist()
     )
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # static per-superstep probe side: edges pre-joined with their
+    # source's out-degree ONCE — each round then needs a single
+    # ranks⋈e_out join instead of ranks⋈e followed by ⋈outd (one
+    # fewer shuffle join per superstep; measured below)
+    e_out = e.join(outd, "src").persist()
     n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     keep_pct = 100 - damping_pct
@@ -82,11 +87,8 @@ def pagerank(
                 ranks.join(outd, ranks["node"] == outd["src"], "left_anti")
                 .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dangling"))
             )
-            shares = (
-                e.join(ranks, e["src"] == ranks["node"])
-                .select("dst", F.expr("rank_scaled DIV 1").alias("r"), "src")
-                .join(outd, "src")
-                .select("dst", F.expr("r DIV outdeg").alias("share"))
+            shares = e_out.join(ranks, e_out["src"] == ranks["node"]).select(
+                "dst", F.expr("rank_scaled DIV outdeg").alias("share")
             )
             inflow = shares.groupBy("dst").agg(F.sum("share").alias("inflow"))
             ranks = (
@@ -113,7 +115,7 @@ def pagerank(
         # long-lived sessions run many graph queries; without this,
         # every invocation leaks |V|+|E| of cached blocks until LRU
         # eviction (judge finding, round 3)
-        for cached in (e, nodes, outd):
+        for cached in (e, nodes, outd, e_out):
             cached.unpersist()
 
 
