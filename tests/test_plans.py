@@ -381,3 +381,22 @@ def test_tpch_q15_no_global_window_and_reuses_rollup_exchange(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, final
     assert not _single_partition_window_sorts(final), final
+
+
+def test_registered_query_schemas_stable_across_scale(spark, sf_dir):
+    """The driver smoke-checks schema stability; a query whose column
+    names or types depend on the DATA (pivot over observed values,
+    inferred types, collapsed literals) would pass correctness at one
+    SF and break the contract at another. Build every registered query
+    at sf0.001 and sf0.01 and require identical (name, dataType)
+    signatures."""
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+
+    other = "/root/testdata/sf0.01"
+    bad = {}
+    for name, spec in sorted(all_specs().items()):
+        s1 = [(f.name, f.dataType.simpleString()) for f in spec.fn(spark, sf_dir).schema]
+        s2 = [(f.name, f.dataType.simpleString()) for f in spec.fn(spark, other).schema]
+        if s1 != s2:
+            bad[name] = (s1, s2)
+    assert not bad, f"schema drift across SFs: { {k: v for k, v in list(bad.items())[:3]} }"
