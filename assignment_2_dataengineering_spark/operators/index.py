@@ -59,6 +59,11 @@ def bm25_from_index(
     layout), df comes from the filtered postings, and per-term scores
     sum in fixed textual order exactly as q_bm25 does — same result,
     none of the corpus re-read."""
+    if not terms:
+        raise ValueError("bm25_from_index needs at least one query term")
+    # dedupe while preserving first-seen order: a repeated term would
+    # otherwise score twice and silently inflate its weight
+    terms = tuple(dict.fromkeys(terms))
     postings = spark.read.parquet(os.path.join(path, "postings")).filter(
         F.col("token").isin(*terms)
     )

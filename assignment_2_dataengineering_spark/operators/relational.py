@@ -95,8 +95,17 @@ def salted_join(
     AQE is unavailable).
 
     Result is row-identical to the plain join (pinned by the
-    q_salted_join oracle).
+    q_salted_join oracle) for `how` in {inner, left}. Other join types
+    are REJECTED: with a right/full outer join the replicated small
+    side's non-matching salt copies would surface as `salts`× spurious
+    null-extended rows.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer joins would emit the small side's replicated salt "
+            "copies as spurious null-extended rows"
+        )
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(salt_from), F.lit(salts)))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
@@ -121,6 +130,13 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     table format. At 100 TB both sides hash-partition on the key once;
     if the target is bucketed on `keys` (sources/io.py bucketed
     writer), the target-side exchange disappears entirely.
+
+    PRECONDITION (same as SQL MERGE, which errors on multiple source
+    matches): `source` must hold at most ONE row per key — a CDC batch
+    with several changes per key must be reduced first
+    (apply_changelog's seq-guarded last-write-wins, or latest_per_key),
+    or the full-outer join fans the target row out once per source
+    duplicate and the output holds duplicate keys.
     """
     # Alias-qualified F.col refs (not df[...] attribute refs): the source
     # is typically DERIVED FROM the target (CDC extract), and attribute
@@ -180,7 +196,24 @@ def scd2_merge(
     q_scd2 (queries_scale.py)."""
     current = target.filter(F.col(to_col).isNull()).alias("__c")
     history = target.filter(F.col(to_col).isNotNull())
-    u = updates.alias("__u")
+    # ONE update per key per merge: a batch carrying several changes
+    # for a key would fan the current row out in the left join below,
+    # closing it at two timestamps and opening multiple concurrent
+    # versions. Deterministic reduction: latest ts wins, exact-ts ties
+    # broken by the attr values ascending (total order). Intermediate
+    # same-batch versions are intentionally skipped — the same
+    # last-write-wins contract as apply_changelog.
+    w_latest = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(a).asc_nulls_last() for a in attrs]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # literal marker: keys[0].isNotNull misclassifies a matched
+    # NULL-key row (eqNullSafe joins NULL keys) as unmatched
+    u = updates.withColumn("__upd", F.lit(1)).alias("__u")
 
     cond = None
     for k in keys:
@@ -192,7 +225,7 @@ def scd2_merge(
         changed_pred = c if changed_pred is None else (changed_pred | c)
 
     joined = current.join(u, cond, "left")
-    upd_marker = F.col(f"__u.{keys[0]}").isNotNull()
+    upd_marker = F.col("__u.__upd").isNotNull()
 
     # Current rows: closed if a differing update arrived, else unchanged.
     kept_current = joined.select(

@@ -111,7 +111,13 @@ def _merge_cms_blobs(blobs) -> bytes:
     for b in blobs:
         ver_i, cnt, depth_i, width_i = struct.unpack(_CMS_HEADER, bytes(b[:20]))
         if (ver_i, depth_i, width_i) != (ver, depth, width):
-            raise ValueError("incompatible CMS shapes — differing eps/confidence/seed")
+            raise ValueError("incompatible CMS shapes — differing eps/confidence")
+        if bytes(b[20 : 20 + 8 * depth]) != hash_a:
+            # same shape but different hash functions (differing seed):
+            # summing those counters yields a meaningless table that
+            # estimate_freq would silently query with the first blob's
+            # hashes — shape checks alone cannot catch this
+            raise ValueError("incompatible CMS hash functions — differing seed")
         total += cnt
         table += np.frombuffer(b, dtype=">i8", count=depth * width, offset=20 + 8 * depth)
     return (

@@ -57,23 +57,33 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
-    out_right = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
 
+    # The right payload travels as ONE struct, carried atomically by a
+    # single last(ignorenulls): carrying each column independently
+    # would back-fill a NULL field of the latest right row from an
+    # OLDER right row — a torn row mixing two right matches, which is
+    # not merge_asof/DuckDB ASOF semantics (whole-row carry).
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__t"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+        F.lit(None)
+        .cast(
+            right.select(payload.alias("__p")).schema["__p"].dataType
+        )
+        .alias("__p"),
     )
     r_tag = right.select(
         *[F.col(c) for c in on],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__t"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-    ).select(*l_tag.columns)  # align column order for unionByName-by-position
+        payload.alias("__p"),
+    )
 
     unioned = l_tag.unionByName(r_tag)
     # right rows (side 0) sort before left rows (side 1) at equal ts →
@@ -86,9 +96,16 @@ def asof_join(
     carried = unioned.select(
         *[c for c in left.columns],
         F.col("__side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__p.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            F.col("__p.__rts").alias(f"{right_ts}{suffix}"),
+        )
+    )
 
 
 def range_join(
@@ -114,8 +131,19 @@ def range_join(
     wobble). Column names must be disjoint across the two sides."""
     tol_us = int(tolerance_s) * 1_000_000
     on = on or []
-    lb = F.floor(_us(left_ts) / tol_us)
-    rb = F.floor(_us(right_ts) / tol_us)
+
+    def _bucket(ts_col: str):
+        # exact integer FLOOR division, all in long arithmetic (pmod
+        # makes truncating DIV a floor for negative pre-1970 micros):
+        # double division rounds past 2^53, so a far-future sentinel ts
+        # (9999-12-31 ≈ 2.5e17 µs) near a boundary could land one
+        # bucket off and silently miss in-tolerance pairs — the
+        # "integer microseconds end-to-end" claim made real
+        t = f"unix_micros(cast({ts_col} as timestamp))"
+        return F.expr(f"({t} - pmod({t}, {tol_us})) DIV {tol_us}")
+
+    lb = _bucket(left_ts)
+    rb = _bucket(right_ts)
     l2 = left.withColumn("__b", lb)
     r2 = right.withColumn("__b", F.explode(F.array(rb - 1, rb, rb + 1)))
     within = F.abs(_us(left_ts) - _us(right_ts)) <= tol_us

@@ -574,3 +574,57 @@ def test_auc_rank_formula_against_pairwise_definition(spark, tmp_path):
     assert abs(run(pos, neg) - round(wins / (len(pos) * len(neg)), 6)) < 1e-9
     assert run([2.0, 3.0], [0.5, 1.0]) == 1.0
     assert run([1.0, 1.0], [1.0, 1.0, 1.0]) == 0.5
+
+
+def test_scd2_merge_multiple_updates_per_key_last_write_wins(spark):
+    """A batch carrying several changes for one key must apply ONLY the
+    latest (same last-write-wins contract as apply_changelog) — the
+    un-reduced left join historically closed the current row at two
+    timestamps and opened two concurrent current versions."""
+    import datetime as dt
+
+    from assignment_2_dataengineering_spark.operators.relational import scd2_merge
+
+    t = lambda m: dt.datetime(2021, m, 1)
+    target = spark.createDataFrame(
+        [(1, 100.0, t(1), None)],
+        "k long, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, 200.0, t(3)), (1, 300.0, t(6))],
+        "k long, bal double, ts timestamp",
+    )
+    out = scd2_merge(target, updates, ["k"], ["bal"]).collect()
+    rows = sorted(((r["bal"], r["valid_from"], r["valid_to"]) for r in out))
+    # exactly 2 rows: the original closed at the LATEST ts, one new current
+    assert rows == [(100.0, t(1), t(6)), (300.0, t(6), None)]
+
+
+def test_scd2_merge_null_key_update_applies(spark):
+    """eqNullSafe joins NULL keys; the matched-update marker must be a
+    literal flag, not keys[0].isNotNull (which classified a matched
+    NULL-key row as unmatched and silently dropped the change)."""
+    import datetime as dt
+
+    from assignment_2_dataengineering_spark.operators.relational import scd2_merge
+
+    t = lambda m: dt.datetime(2022, m, 1)
+    target = spark.createDataFrame(
+        [(None, 1.0, t(1), None)],
+        "k string, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(None, 9.0, t(5))], "k string, bal double, ts timestamp"
+    )
+    out = scd2_merge(target, updates, ["k"], ["bal"]).collect()
+    rows = sorted(((r["bal"], r["valid_to"]) for r in out), key=str)
+    assert rows == [(1.0, t(5)), (9.0, None)]
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, "x1")], "k long, rid string")
+    small = spark.createDataFrame([(1, "m")], "k2 long, v string")
+    with _pytest.raises(ValueError, match="outer joins"):
+        salted_join(big, small, "k", "k2", salt_from="rid", how="full_outer")

@@ -202,3 +202,54 @@ def test_windowed_funnel_timestamp_tied_purchase_does_not_mask(spark, tmp_path):
     assert r["n_clicks"] == 3
     assert r["n_converted"] == 1  # only user 1
     assert abs(r["conversion_rate"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_asof_join_carries_whole_rows_not_torn_columns(spark):
+    """A NULL field in the LATEST right row must come through as NULL —
+    not be back-filled from an older right row (whole-row carry, the
+    merge_asof/DuckDB ASOF contract). Historically each payload column
+    was carried independently with last(ignorenulls), producing a row
+    that never existed."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rdf = spark.createDataFrame(
+        [(1, t(1), 5.0, 10.0), (1, t(2), None, 20.0)],
+        "k long, ts timestamp, a double, b double",
+    )
+    ldf = spark.createDataFrame([(1, t(3))], "k long, ts timestamp")
+    row = TP.asof_join(ldf, rdf, ["k"], right_cols=["a", "b"]).first()
+    assert row["ts_right"] == t(2)
+    assert row["b_right"] == 20.0
+    assert row["a_right"] is None  # NOT 5.0 from the older row
+    # forward direction: same contract
+    ldf2 = spark.createDataFrame([(1, t(0))], "k long, ts timestamp")
+    fwd = TP.asof_join(
+        ldf2, rdf, ["k"], right_cols=["a", "b"], direction="forward"
+    ).first()
+    assert fwd["ts_right"] == t(1) and fwd["a_right"] == 5.0
+
+
+def test_range_join_exact_buckets_beyond_2_53_and_pre_epoch(spark):
+    """Bucket arithmetic must stay exact for far-future sentinel
+    timestamps (9999-12-31 ≈ 2.5e17 µs > 2^53, where double division
+    rounds) and floor correctly for pre-1970 timestamps (truncating
+    division would shift negative buckets)."""
+    import datetime as dt
+
+    far = dt.datetime(9999, 12, 30, 23, 59, 59)
+    near_far = far + dt.timedelta(seconds=30)
+    pre = dt.datetime(1969, 12, 31, 23, 59, 40)
+    pre2 = dt.datetime(1970, 1, 1, 0, 0, 10)
+    ldf = spark.createDataFrame(
+        [(1, far), (2, pre)], "lid long, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(10, near_far), (20, pre2), (30, dt.datetime(2024, 1, 1))],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in TP.range_join(ldf, rdf, "lts", "rts", tolerance_s=60).collect()
+    }
+    assert got == {(1, 10), (2, 20)}
