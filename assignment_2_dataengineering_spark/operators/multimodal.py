@@ -76,18 +76,25 @@ def media_from_binary_files(files: DataFrame, fmt: str = "raw", frame_bytes: int
     """The production entry as_media_table's docstring promises: adapt
     `sources.io.read_binary_files` rows (path, content, length, mtime)
     into the engine's media-table shape. doc_id = xxhash64(path) so ids
-    are stable across reruns and listing order; geometry derives from
-    byte length (a real header probe plugs in at the decode seam —
-    decode_payload — without touching this adapter). Downstream
-    operators (sample_frames / extract_features / resize_images) run
-    unchanged on the result."""
+    are stable across reruns and listing order; FRAME geometry derives
+    from byte length, and the IMAGE geometry is a square-ish synthetic
+    derived from the payload size (side = floor(sqrt(length)), capped
+    ≥ 1) — honest placeholder values a real header probe replaces at
+    the decode seam (decode_payload) without touching this adapter.
+    Downstream operators (sample_frames / extract_features /
+    resize_images / patchify) run on the result WITHOUT degenerate
+    zero-geometry outputs (width=height=0 previously made
+    resize_images emit empty bytes for every file)."""
+    side = F.greatest(
+        F.floor(F.sqrt(F.col("length").cast("double"))), F.lit(1)
+    ).cast("int")
     return files.select(
         F.xxhash64("path").alias("doc_id"),
         F.col("content").alias("payload"),
         F.struct(
             F.lit(fmt).alias("format"),
-            F.lit(0).cast("int").alias("width"),
-            F.lit(0).cast("int").alias("height"),
+            side.alias("width"),
+            side.alias("height"),
             F.greatest(F.floor(F.col("length") / frame_bytes), F.lit(1))
             .cast("int")
             .alias("n_frames"),
@@ -269,8 +276,16 @@ def patchify(media: DataFrame, tile_w: int = 4, tile_h: int = 2) -> DataFrame:
         "doc_id",
         "img",
         "w",
+        # Spark evaluates sequence(0, -1) DESCENDING ([0, -1]), so an
+        # image narrower/shorter than one tile must emit an EMPTY
+        # array, not bogus negative coordinates (same ANSI-sequence
+        # trap as tokenize.py's pair guard)
         F.explode(
-            F.expr(f"sequence(0, CAST(w / {tile_w} AS INT) - 1)")
+            F.expr(
+                f"CASE WHEN w >= {tile_w}"
+                f" THEN sequence(0, CAST(w / {tile_w} AS INT) - 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END"
+            )
         ).alias("patch_x"),
         F.col("h"),
     ).select(
@@ -279,7 +294,11 @@ def patchify(media: DataFrame, tile_w: int = 4, tile_h: int = 2) -> DataFrame:
         "w",
         "patch_x",
         F.explode(
-            F.expr(f"sequence(0, CAST(h / {tile_h} AS INT) - 1)")
+            F.expr(
+                f"CASE WHEN h >= {tile_h}"
+                f" THEN sequence(0, CAST(h / {tile_h} AS INT) - 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END"
+            )
         ).alias("patch_y"),
     )
     rows = F.expr(

@@ -27,15 +27,16 @@ def with_quality_observation(
     `observation.get` — e.g. {'n_rows': …, 'null_ts': …, 'neg_value': …}.
     Counts are exact (accumulators merge per task, no sampling).
     """
+    # count(when(...)) rather than sum(when/otherwise): sum over ZERO
+    # rows is NULL, so an empty observed plan reported null_*/neg_* as
+    # None — breaking `== 0` gates; count returns 0
     metrics: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in not_null:
         metrics.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
         )
     for c in non_negative:
-        metrics.append(
-            F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"neg_{c}")
-        )
+        metrics.append(F.count(F.when(F.col(c) < 0, 1)).alias(f"neg_{c}"))
     for name, col in (extra or {}).items():
         metrics.append(col.alias(name))
     obs = Observation()
@@ -53,11 +54,20 @@ def dq_report(checks: dict[str, DataFrame]) -> DataFrame:
     one in isolation (a null count never pays a join; an anti-join
     check broadcasts its dim side) and the union is over 1-row results
     — the report costs exactly the sum of its checks, no more."""
+    if not checks:
+        raise ValueError("dq_report needs at least one check")
     parts = [
         df.select(
             F.lit(name).alias("constraint"),
-            F.col("n_violations").cast("long").alias("n_violations"),
-            F.when(F.col("n_violations") == 0, F.lit("PASS"))
+            # sum-shaped checks yield NULL over zero rows — that is
+            # zero violations, not a failure
+            F.coalesce(F.col("n_violations").cast("long"), F.lit(0)).alias(
+                "n_violations"
+            ),
+            F.when(
+                F.coalesce(F.col("n_violations").cast("long"), F.lit(0)) == 0,
+                F.lit("PASS"),
+            )
             .otherwise(F.lit("FAIL"))
             .alias("status"),
         )

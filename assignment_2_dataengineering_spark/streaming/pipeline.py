@@ -1,10 +1,19 @@
 """The dashboard's ingest plane assembled end-to-end (SURVEY.md §3.3
-"Spark shape"): one streaming source fanned into four sinks —
+"Spark shape"): one logical source plan fanned into four sinks —
 
     source ─ parse ─┬─ facility branch ─ enrich ─┬─ latest snapshot (update)
-                    │                            └─ 5-min window sums (append)
+                    │                            └─ 5-min window sums (update)
                     ├─ market branch ──────────── latest snapshot (update)
                     └─ quarantine ─────────────── reject audit (append)
+
+Execution note: these are four INDEPENDENT streaming queries over the
+same source plan — each reads the source and keeps its own state
+(simple, per-sink restartable, the shape memory sinks need). At the
+100 TB/day design point, collapse to ONE query whose foreachBatch
+fans the parsed batch into the four writes (the
+snapshot.merge_snapshot_batch pattern): one source read and one dedup
+state instead of four/two. The per-stage operators are identical
+either way.
 
 A user of the reference's dashboard.py switches by pointing this at
 their broker source and reading the sink tables; every stage is the
@@ -105,8 +114,14 @@ def run_dashboard_pipeline(
     win = windows.tumbling_window_sums(
         fac, "facility_id", ["power_mw", "co2_tonnes"], watermark=None
     )
+    # UPDATE mode: append would emit a window only once the (60-min)
+    # watermark passes it — the dashboard's newest hour (its main view)
+    # would always be missing, and an availableNow replay spanning less
+    # than the watermark would emit NOTHING. Update re-emits a bucket
+    # whenever it changes; readers resolve latest-per-(bucket, key)
+    # exactly as they do for the snapshot sinks.
     q3 = (
-        win.writeStream.outputMode("append")
+        win.writeStream.outputMode("update")
         .format("memory")
         .queryName(f"{sink_prefix}_facility_windows")
         .option("checkpointLocation", f"{checkpoint_root}/fac_win")
@@ -114,7 +129,7 @@ def run_dashboard_pipeline(
         .start()
     )
 
-    quar = ingest.quarantine_branch(ingest.parse_events(raw_stream))
+    quar = ingest.quarantine_branch(parsed)
     q4 = (
         quar.writeStream.outputMode("append")
         .format("memory")

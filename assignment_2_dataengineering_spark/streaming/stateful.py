@@ -77,7 +77,13 @@ def running_topk(
             (list(state.get[0]), int(state.get[1])) if state.exists else ([], 0)
         )
         for pdf in pdfs:
-            xs = pdf[value_col].astype(float).tolist()
+            # NaN/null are DROPPED, not ranked: plain sorted() leaves
+            # NaN unordered (corrupting the retained list and making
+            # the merge batch-boundary-dependent), and the
+            # pandas→Arrow boundary conflates NaN with null anyway, so
+            # a NaN could not round-trip through state or the output
+            col = pdf[value_col].astype(float).dropna()
+            xs = col.tolist()
             n_seen += len(xs)
             vals = sorted(vals + xs, reverse=True)[:k]
         state.update((vals, n_seen))
@@ -120,7 +126,8 @@ class RunningTopK(StatefulProcessor):
             (list(existing[0]), int(existing[1])) if existing else ([], 0)
         )
         for pdf in rows:
-            xs = pdf[self.value_col].astype(float).tolist()
+            # NaN/null dropped — see running_topk
+            xs = pdf[self.value_col].astype(float).dropna().tolist()
             n_seen += len(xs)
             # merge + trim: state never exceeds k floats per key
             vals = sorted(vals + xs, reverse=True)[: self.k]

@@ -92,3 +92,40 @@ def test_dq_report_flags_planted_violations(spark):
     clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
     checks2 = {"v_not_null": clean.filter(F.col("v").isNull()).agg(one)}
     assert dq_report(checks2).collect()[0].status == "PASS"
+
+
+def test_quality_observation_zero_rows_reports_zero_not_null(spark):
+    """sum(when) over zero rows is NULL; the counters must come back 0
+    on an empty observed plan or `== 0` quality gates break."""
+    from assignment_2_dataengineering_spark.operators.observe import (
+        with_quality_observation,
+    )
+
+    df = spark.createDataFrame([], "ts timestamp, value double").filter(F.lit(False))
+    observed, obs = with_quality_observation(
+        df, not_null=["ts"], non_negative=["value"]
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 0
+    assert got["null_ts"] == 0
+    assert got["neg_value"] == 0
+
+
+def test_dq_report_null_violation_count_is_pass_and_empty_rejected(spark):
+    """A sum-shaped check over zero rows yields NULL — that is zero
+    violations (PASS), not FAIL-with-NULL; an empty checks dict raises
+    instead of IndexError."""
+    import pytest as _pytest
+
+    from assignment_2_dataengineering_spark.operators.observe import dq_report
+
+    empty = spark.createDataFrame([], "x long").agg(
+        F.sum("x").alias("n_violations")
+    )
+    rows = dq_report({"sum_over_empty": empty}).collect()
+    assert [(r["constraint"], r["n_violations"], r["status"]) for r in rows] == [
+        ("sum_over_empty", 0, "PASS")
+    ]
+    with _pytest.raises(ValueError):
+        dq_report({})

@@ -169,3 +169,51 @@ def test_decayed_counter_matches_batch_and_ignores_arrival_order(
     )
     want = {r.user_id: (r.maxd, r.dc) for r in batch}
     assert got == want
+
+
+def test_running_topk_drops_nan_keeps_sort_invariant(spark, tmp_path_factory):
+    """NaN values are DROPPED (plain sorted() leaves NaN unordered —
+    corrupting the retained list and making the merge batch-boundary-
+    dependent — and the pandas→Arrow boundary conflates NaN with null,
+    so NaN cannot round-trip through state anyway); real values around
+    a NaN must survive in exact order."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("topk_nan")
+    b1 = [(1, 5.0), (1, float("nan")), (1, 1.0)]
+    b2 = [(1, 9.0), (1, 3.0)]
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.parquet(str(d / f"b{i}"))
+    src = d / "src"
+    src.mkdir()
+    n = 0
+    for i in range(2):
+        for f in sorted((d / f"b{i}").glob("*.parquet")):
+            shutil.copy(f, src / f"{n:03d}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful.running_topk(stream, key="user_id", value_col="value", k=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_nan_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = (
+        spark.table("topk_nan_sink")
+        .groupBy("key")
+        .agg(F.max_by("topk", "n_seen").alias("topk"))
+        .collect()[0]["topk"]
+    )
+    assert final == [9.0, 5.0, 3.0]  # NaN dropped, order exact
