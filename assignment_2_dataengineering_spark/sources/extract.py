@@ -44,23 +44,26 @@ def build_query_string(
     date_end: str | None = None,
 ) -> str:
     """OE-style query string: scalar params once, list params repeated
-    (the API takes repeated keys, not comma-joins — extractor.py:28-55)."""
-    params: list[str] = []
+    (the API takes repeated keys, not comma-joins — extractor.py:28-55).
+    Values are PERCENT-ENCODED via urlencode: an ISO-8601 timezone
+    offset like '+10:00' would otherwise decode server-side as
+    ' 10:00' (+ is a space in query strings) and shift the requested
+    range."""
+    from urllib.parse import urlencode
+
+    pairs: list[tuple[str, str]] = []
     if interval:
-        params.append(f"interval={interval}")
+        pairs.append(("interval", interval))
     if primary_grouping:
-        params.append(f"primary_grouping={primary_grouping}")
+        pairs.append(("primary_grouping", primary_grouping))
     if date_start:
-        params.append(f"date_start={date_start}")
+        pairs.append(("date_start", date_start))
     if date_end:
-        params.append(f"date_end={date_end}")
-    for m in metrics or ():
-        params.append(f"metrics={m}")
-    for r in network_region or ():
-        params.append(f"network_region={r}")
-    for c in facility_code or ():
-        params.append(f"facility_code={c}")
-    return "?" + "&".join(params) if params else ""
+        pairs.append(("date_end", date_end))
+    pairs += [("metrics", m) for m in metrics or ()]
+    pairs += [("network_region", r) for r in network_region or ()]
+    pairs += [("facility_code", c) for c in facility_code or ()]
+    return "?" + urlencode(pairs) if pairs else ""
 
 
 def fetch_with_retry(
@@ -172,8 +175,38 @@ RESPONSE_SCHEMA = T.StructType(
 def responses_to_df(spark: SparkSession, responses: Iterable[dict]) -> DataFrame:
     """Parsed response docs → one-row-per-response DataFrame. In
     production: `spark.read.json(landing_path, schema=RESPONSE_SCHEMA)`
-    over the raw landed files — same downstream plan."""
-    return spark.createDataFrame(list(responses), RESPONSE_SCHEMA)
+    over the raw landed files — same downstream plan.
+
+    The [ts, value] pairs are STRINGIFIED before createDataFrame:
+    RESPONSE_SCHEMA declares them array<string> (the read.json path
+    coerces scalars itself), but real fetcher output carries JSON
+    numbers, which createDataFrame's schema verifier rejects for
+    StringType — without this, responses_to_df crashed on the module's
+    own fetch_* results."""
+
+    def _stringify(doc: dict) -> dict:
+        out = dict(doc)
+        out["data"] = [
+            {
+                **m,
+                "results": [
+                    {
+                        **r,
+                        "data": [
+                            [None if x is None else str(x) for x in pair]
+                            for pair in (r.get("data") or [])
+                        ],
+                    }
+                    for r in (m.get("results") or [])
+                ],
+            }
+            for m in (doc.get("data") or [])
+        ]
+        return out
+
+    return spark.createDataFrame(
+        [_stringify(d) for d in responses], RESPONSE_SCHEMA
+    )
 
 
 def _metric_points(responses: DataFrame, key_expr: F.Column) -> DataFrame:
@@ -226,13 +259,25 @@ def market_responses_to_long(responses: DataFrame) -> DataFrame:
 
 def alignment_check(left: DataFrame, right: DataFrame, keys: list[str]) -> dict[str, int]:
     """§2.11 data-quality asserts as a validation query: full-outer
-    join null scan counting rows present on only one side. The
-    reference crashes on misalignment (assert); the engine reports."""
-    lo = left.select(*keys).withColumn("__l", F.lit(1))
-    ro = right.select(*keys).withColumn("__r", F.lit(1))
-    j = lo.join(ro, keys, "full_outer")
-    return {
-        "left_only": j.filter(F.col("__r").isNull()).count(),
-        "right_only": j.filter(F.col("__l").isNull()).count(),
-        "matched": j.filter(F.col("__l").isNotNull() & F.col("__r").isNotNull()).count(),
-    }
+    join null scan counting KEYS present on only one side. The
+    reference crashes on misalignment (assert); the engine reports.
+    Per-KEY semantics (distinct before the join): duplicate rows of
+    the same key — overlapping fetch ranges landing a reading twice —
+    would otherwise multiply 'matched' through the join fan-out, and
+    the three numbers would reconcile with neither input. One
+    aggregation pass computes all three counts (three separate
+    count() actions re-ran the join three times)."""
+    lo = left.select(*keys).distinct().withColumn("__l", F.lit(1))
+    ro = right.select(*keys).distinct().withColumn("__r", F.lit(1))
+    row = (
+        lo.join(ro, keys, "full_outer")
+        .agg(
+            F.count(F.when(F.col("__r").isNull(), 1)).alias("left_only"),
+            F.count(F.when(F.col("__l").isNull(), 1)).alias("right_only"),
+            F.count(
+                F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), 1)
+            ).alias("matched"),
+        )
+        .first()
+    )
+    return {k: int(row[k]) for k in ("left_only", "right_only", "matched")}

@@ -128,14 +128,39 @@ def compact_parquet(
     gives uniform file sizes. `maxRecordsPerFile` is set as well so a
     skewed range bucket still splits rather than producing one huge
     file. Returns the file count. The one count() action is the
-    planner's sizing input, not a hot-path collect."""
+    planner's sizing input, not a hot-path collect.
+
+    IN-PLACE compaction (output path among the input paths — the
+    standing-job case) is staged: Spark refuses to overwrite a path it
+    is reading from, so the rewrite lands in a sibling temp directory
+    that then atomically-ish swaps into place (rename, keep the old
+    data as .bak until the swap completes)."""
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))
     if cluster_by:
         out = df.repartitionByRange(files, *cluster_by).sortWithinPartitions(*cluster_by)
     else:
         out = df.repartition(files)
-    out.write.option("maxRecordsPerFile", target_rows_per_file).mode(mode).parquet(path)
+    writer = out.write.option("maxRecordsPerFile", target_rows_per_file).mode(mode)
+
+    import os
+    import shutil
+
+    target = os.path.abspath(path)
+    input_dirs = {
+        os.path.abspath(os.path.dirname(f).removeprefix("file:"))
+        for f in df.inputFiles()
+    }
+    in_place = os.path.isdir(path) and target in input_dirs
+    if in_place:
+        tmp = path.rstrip("/") + "._compact_tmp"
+        bak = path.rstrip("/") + "._compact_bak"
+        writer.parquet(tmp)
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+    else:
+        writer.parquet(path)
     return files
 
 
@@ -211,7 +236,10 @@ def backfill_missing_days(
         }
     days = {
         r.d.isoformat()
-        for r in source.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()
+        for r in source.select(F.to_date(F.col(ts_col)).alias("d"))
+        .filter(F.col("d").isNotNull())  # null/unparseable ts: no partition
+        .distinct()
+        .collect()
     }
     missing = sorted(days - have)
     if not missing:

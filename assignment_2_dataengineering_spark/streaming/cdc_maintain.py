@@ -37,21 +37,17 @@ SURVEY §2.12.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_META = "_current.json"
-
-
-def _read_meta(table_dir: str) -> dict | None:
-    p = os.path.join(table_dir, _META)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+from .publish import (
+    already_applied,
+    committed_version_path,
+    publish_version,
+    read_meta as _read_meta,
+)
 
 
 def cdc_apply_batch(
@@ -67,7 +63,7 @@ def cdc_apply_batch(
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_meta(table_dir)
-        if meta is not None and batch_id <= meta["last_batch"]:
+        if already_applied(table_dir, batch_id):
             return  # replayed batch — already applied
         spark = batch_df.sparkSession
         w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
@@ -95,12 +91,7 @@ def cdc_apply_batch(
             )
         else:
             merged = last
-        version = f"data_v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(table_dir, version))
-        tmp = os.path.join(table_dir, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id, "version": version}, f)
-        os.replace(tmp, os.path.join(table_dir, _META))
+        publish_version(merged, table_dir, batch_id)
 
     return worker
 
@@ -121,11 +112,8 @@ def snapshot_at(spark, table_dir: str, batch_id: int) -> DataFrame:
     only ever moves forward, so historical versions remain readable
     until a retention job removes them (the lakehouse time-travel
     contract, at one-pointer scale). Raises FileNotFoundError for a
-    version that never committed."""
-    import os
-
-    p = os.path.join(table_dir, f"data_v{batch_id}")
-    if not os.path.isdir(p):
-        raise FileNotFoundError(f"no committed version data_v{batch_id} under {table_dir}")
-    df = spark.read.parquet(p)
+    version that never COMMITTED — a data_v directory can exist
+    without its pointer flip (crash mid-publish) and may be torn, so
+    existence alone is not commit (publish.committed_version_path)."""
+    df = spark.read.parquet(committed_version_path(table_dir, batch_id))
     return df.filter(~F.col("__deleted")).drop("__deleted")

@@ -27,21 +27,12 @@ from the 5000-event buffer every 3 s); engine extension per SURVEY §2.12.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_META = "_current.json"
-
-
-def _read_meta(table_dir: str) -> dict | None:
-    p = os.path.join(table_dir, _META)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+from .publish import already_applied, publish_version, read_meta as _read_meta
 
 
 def incremental_rollup_batch(
@@ -56,7 +47,7 @@ def incremental_rollup_batch(
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_meta(table_dir)
-        if meta is not None and batch_id <= meta["last_batch"]:
+        if already_applied(table_dir, batch_id):
             return  # replayed batch — already folded
         spark = batch_df.sparkSession
         delta = (
@@ -81,12 +72,7 @@ def incremental_rollup_batch(
                     F.max("max_value").alias("max_value"),
                 )
             )
-        version = f"data_v{batch_id}"
-        delta.write.mode("overwrite").parquet(os.path.join(table_dir, version))
-        tmp = os.path.join(table_dir, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id, "version": version}, f)
-        os.replace(tmp, os.path.join(table_dir, _META))
+        publish_version(delta, table_dir, batch_id)
 
     return worker
 

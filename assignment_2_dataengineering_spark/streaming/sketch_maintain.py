@@ -21,11 +21,12 @@ and forgets); engine extension per SURVEY.md §2.12.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .publish import already_applied, commit_meta
 
 _META = "_last_batch.json"
 
@@ -45,13 +46,10 @@ def incremental_sketch_batch(
     `table_dir`. One aggregate per batch computes BOTH sketch kinds —
     a single shuffle on the storage grain."""
     group_cols = list(group_cols or ["event_type"])
-    meta_path = os.path.join(table_dir, _META)
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                if batch_id <= json.load(f)["last_batch"]:
-                    return  # replayed batch — already applied
+        if already_applied(table_dir, batch_id, name=_META):
+            return  # replayed batch — already applied
         sketches = (
             batch_df.withColumn("day", F.to_date(ts_col))
             .groupBy(*group_cols, "day")
@@ -62,13 +60,16 @@ def incremental_sketch_batch(
                 ).alias("cms"),
                 F.count(F.lit(1)).alias("n_rows"),
             )
-            .withColumn("batch_id", F.lit(batch_id))
         )
-        sketches.write.mode("append").parquet(os.path.join(table_dir, "sketches"))
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id}, f)
-        os.replace(tmp, meta_path)
+        # batch-scoped partition OVERWRITE, not append: CMS counters
+        # SUM on merge, so the crash window between an append and the
+        # high-water-mark commit would double-count the redelivered
+        # batch permanently (round-4 review finding); overwriting
+        # batch_id={N} replaces partial output instead
+        sketches.write.mode("overwrite").parquet(
+            os.path.join(table_dir, "sketches", f"batch_id={batch_id}")
+        )
+        commit_meta(table_dir, {"last_batch": batch_id}, name=_META)
 
     return worker
 

@@ -30,18 +30,25 @@ def join_view_delta(
     da: DataFrame | None,
     db: DataFrame | None,
     keys: list[str],
+    broadcast_deltas: bool = True,
 ) -> DataFrame | None:
     """The new rows a batch of appends adds to the inner-join view:
     ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. Returns None when both deltas are empty
     plans (callers skip the write). Each term is one keyed join whose
-    small side is the delta — broadcast it when it fits."""
+    small side is the delta; `broadcast_deltas=True` (the steady-state
+    micro-batch case) pins the delta as the broadcast side. Pass
+    False for CATCH-UP refreshes replaying a large delta — a forced
+    broadcast of a multi-GB delta hits Spark's 8 GB broadcast limit or
+    OOMs, where a shuffle join (with AQE free to choose broadcast if
+    the delta turns out small) succeeds."""
+    wrap = F.broadcast if broadcast_deltas else (lambda d: d)
     parts = []
     if da is not None:
-        parts.append(F.broadcast(da).join(b_old, keys))
+        parts.append(wrap(da).join(b_old, keys))
     if db is not None:
-        parts.append(a_old.join(F.broadcast(db), keys))
+        parts.append(a_old.join(wrap(db), keys))
     if da is not None and db is not None:
-        parts.append(F.broadcast(da).join(db, keys))
+        parts.append(wrap(da).join(db, keys))
     if not parts:
         return None
     out = parts[0]
@@ -57,9 +64,10 @@ def refresh_join_view(
     da: DataFrame | None,
     db: DataFrame | None,
     keys: list[str],
+    broadcast_deltas: bool = True,
 ) -> DataFrame:
     """Append the delta rows to the stored view — the incremental
     refresh. The caller persists the result (or writes the delta
     partition); this function only assembles the plan."""
-    delta = join_view_delta(a_old, b_old, da, db, keys)
+    delta = join_view_delta(a_old, b_old, da, db, keys, broadcast_deltas)
     return view if delta is None else view.unionByName(delta)

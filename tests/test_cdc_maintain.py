@@ -133,3 +133,33 @@ def test_time_travel_reads_historical_post_images(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         snapshot_at(spark, str(tmp_path), 99)
+
+
+def test_snapshot_at_refuses_uncommitted_version(spark, tmp_path):
+    """A data_v{N} directory without its pointer flip (crash
+    mid-publish) must NOT be served as time travel — existence alone
+    is not commit."""
+    import os
+
+    import pytest as _pytest
+
+    from assignment_2_dataengineering_spark.streaming.cdc_maintain import (
+        cdc_apply_batch,
+        snapshot_at,
+    )
+
+    d = str(tmp_path / "cdc")
+    worker = cdc_apply_batch(d, ["k"])
+    worker(
+        spark.createDataFrame([(1, "x", 1, "U")], "k long, v string, seq long, op string"),
+        0,
+    )
+    # simulate a crash mid-publish of batch 1: directory exists,
+    # pointer never flipped
+    os.makedirs(os.path.join(d, "data_v1"), exist_ok=True)
+    spark.createDataFrame(
+        [(9, "torn", 9, False)], "k long, v string, seq long, __deleted boolean"
+    ).write.mode("overwrite").parquet(os.path.join(d, "data_v1"))
+    assert snapshot_at(spark, d, 0).count() == 1  # committed version fine
+    with _pytest.raises(FileNotFoundError):
+        snapshot_at(spark, d, 1)

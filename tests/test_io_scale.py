@@ -398,3 +398,40 @@ class TestBackfillMissingDays:
         before = sorted(os.listdir(part))
         backfill_missing_days(spark, src, out)  # lands the other days
         assert sorted(os.listdir(part)) == before  # day-0 files untouched
+
+
+def test_compact_parquet_in_place_stage_and_swap(spark, tmp_path):
+    """The standing-job case the index sinks document: compacting a
+    directory INTO ITSELF. Spark refuses to overwrite a read path, so
+    the rewrite stages to a temp sibling and swaps; content identical,
+    file count reduced, no leftover temp/backup dirs."""
+    import os
+
+    from assignment_2_dataengineering_spark.sources.io import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(20).write.parquet(p)
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) >= 20
+    n_files = compact_parquet(spark.read.parquet(p), p, target_rows_per_file=500)
+    assert n_files == 2
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) == 2
+    assert spark.read.parquet(p).count() == 1000
+    assert {r[0] for r in spark.read.parquet(p).collect()} == set(range(1000))
+    assert not os.path.exists(p + "._compact_tmp")
+    assert not os.path.exists(p + "._compact_bak")
+
+
+def test_backfill_skips_null_dates(spark, tmp_path):
+    """A null ts row must not abort the whole backfill (None.isoformat
+    crash) — valid days still land."""
+    import datetime as dt
+
+    from assignment_2_dataengineering_spark.sources.io import backfill_missing_days
+
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, None), (3, dt.datetime(2024, 1, 2))],
+        "id long, ts timestamp",
+    )
+    out = str(tmp_path / "sink")
+    written = backfill_missing_days(spark, src, out)
+    assert written == ["2024-01-01", "2024-01-02"]

@@ -87,3 +87,35 @@ def test_frequency_estimates_from_maintained_table(spark, sf_dir, tmp_path):
     for k, e in est.items():
         true = exact.get(k, 0)
         assert true <= e <= true + EPS * total + 1, (k, e, true)
+
+
+def test_sketch_crash_before_hwm_commit_then_redelivery_is_clean(spark, tmp_path):
+    """CMS counters SUM on merge, so the crash window between the
+    sketch write and the high-water-mark commit must not double-count:
+    redelivery overwrites batch_id={N} instead of appending."""
+    import datetime as dt
+    import os
+
+    from assignment_2_dataengineering_spark.streaming.sketch_maintain import (
+        incremental_sketch_batch,
+        maintained_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i % 7, t0, "click") for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    d = str(tmp_path / "sk")
+    worker = incremental_sketch_batch(d)
+    worker(df, 0)
+    before = maintained_distinct(spark, d, ["event_type"]).collect()
+    n_rows_before = (
+        spark.read.parquet(os.path.join(d, "sketches")).agg(F.sum("n_rows")).first()[0]
+    )
+    os.remove(os.path.join(d, "_last_batch.json"))  # "crash"
+    worker(df, 0)  # redelivery
+    after = maintained_distinct(spark, d, ["event_type"]).collect()
+    n_rows_after = (
+        spark.read.parquet(os.path.join(d, "sketches")).agg(F.sum("n_rows")).first()[0]
+    )
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    assert n_rows_after == n_rows_before  # no double-counted partials

@@ -118,3 +118,23 @@ def test_streaming_foreachbatch_maintains_join_view(spark, tmp_path_factory):
         spark.createDataFrame(rows1 + rows2, "k long, payload string").join(dim, "k")
     )
     _assert_same_rows(got.select("k", "payload", "attr"), want.select("k", "payload", "attr"))
+
+
+def test_join_view_delta_shuffle_path_equivalent(spark):
+    """broadcast_deltas=False (the catch-up path) must produce the same
+    rows through shuffle joins, with no forced BroadcastExchange of
+    the delta sides in the plan."""
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, va string")
+    b = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, vb string")
+    da = spark.createDataFrame([(3, "a3")], "k long, va string")
+    db = spark.createDataFrame([(2, "b2")], "k long, vb string")
+    from assignment_2_dataengineering_spark.streaming.view_maintain import (
+        join_view_delta,
+    )
+
+    want = {
+        tuple(r)
+        for r in join_view_delta(a, b, da, db, ["k"]).collect()
+    }
+    got_df = join_view_delta(a, b, da, db, ["k"], broadcast_deltas=False)
+    assert {tuple(r) for r in got_df.collect()} == want
