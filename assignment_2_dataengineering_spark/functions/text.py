@@ -67,10 +67,9 @@ def shingles_from_tokens(w: Column, n: int = 3) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of whitespace tokens that are stopwords — the classic
-    cheap quality / language signal."""
-    w = tokens_ws(text)
-    hits = F.size(F.filter(w, lambda t: t.isin(STOPWORDS[lang])))
-    return hits / F.greatest(F.size(w), F.lit(1)).cast("double")
+    cheap quality / language signal. Delegates to the _from_tokens
+    form so the two can never drift."""
+    return stopword_ratio_from_tokens(tokens_ws(text), lang)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -121,7 +120,12 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # lookaround, no backreferences) so the same strings drive Spark's
 # codegen regexp and the DuckDB oracle identically.
 IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
-PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+# Digits and dashes ONLY — no space separator: [\d\- ]{7,} spanned
+# space-separated runs of ordinary numbers, so a year list
+# ("1999 2000 2001") collapsed to one [PHONE]. Precision over recall
+# for corpus scrubbing: destroying real data is worse than missing a
+# space-formatted phone (which needs checksum-level validation anyway).
+PHONE_PATTERN = r"\+?\d[\d\-]{7,}\d"
 
 
 def pii_scrub(text: Column) -> Column:
@@ -152,12 +156,11 @@ def dedup_tokens_ordered(w: Column) -> Column:
 def repetition_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of repeated word n-grams: 1 - distinct/total — the
     Gopher/C4 boilerplate-and-loop signal. 0.0 for docs shorter than n
-    words."""
-    grams = shingles(text, n)
-    total = F.size(grams)
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"), 4)
-    )
+    words. Delegates to the _from_grams form so the two can never
+    drift (note: inlined here the gram expression is re-evaluated per
+    reference — materialize the grams and call the _from_grams form on
+    hot paths)."""
+    return repetition_ratio_from_grams(shingles(text, n))
 
 
 def stopword_ratio_from_tokens(w: Column, lang: str = "en") -> Column:

@@ -252,12 +252,19 @@ def bpe_encode_oracle_sql(
         ),""",
     ]
     for r in range(num_merges):
+        # LEFT JOIN ON TRUE, not a cross join: when the vocabulary
+        # exhausts before num_merges rounds, b{r} is EMPTY and a cross
+        # join would wipe every document row (the Spark side simply
+        # applies the shorter learned list); the NULL-pair round is an
+        # identity rewrite instead
         parts.append(
             f"""docs{r + 1} AS (
                 SELECT doc_id, n_chars,
-                       replace(seq, ' ' || replace(b.pair, ' ', '  ') || ' ',
-                               ' ' || b.merged || ' ') AS seq
-                FROM docs{r}, b{r} b
+                       CASE WHEN b.pair IS NULL THEN seq
+                            ELSE replace(seq,
+                                 ' ' || replace(b.pair, ' ', '  ') || ' ',
+                                 ' ' || b.merged || ' ') END AS seq
+                FROM docs{r} LEFT JOIN b{r} b ON TRUE
             ),"""
         )
     parts[-1] = parts[-1].rstrip().rstrip(",")

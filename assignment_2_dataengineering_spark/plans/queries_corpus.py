@@ -370,13 +370,13 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(regexp_replace(synth,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g'),
-               '\\+?\\d[\\d\\- ]{7,}\\d', '[PHONE]', 'g') AS redacted,
+               '\\+?\\d[\\d\\-]{7,}\\d', '[PHONE]', 'g') AS redacted,
            CAST(len(regexp_extract_all(synth,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(synth,
                '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips,
            CAST(len(regexp_extract_all(synth,
-               '\\+?\\d[\\d\\- ]{7,}\\d')) AS BIGINT) AS n_phones
+               '\\+?\\d[\\d\\-]{7,}\\d')) AS BIGINT) AS n_phones
     FROM s
     """,
     tags=("corpus", "quality"),
@@ -559,7 +559,7 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(regexp_replace(regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
                    '\\b\\d{{1,3}}(\\.\\d{{1,3}}){{3}}\\b', '[IP]', 'g'),
-                   '\\+?\\d[\\d\\- ]{{7,}}\\d', '[PHONE]', 'g') AS text,
+                   '\\+?\\d[\\d\\-]{{7,}}\\d', '[PHONE]', 'g') AS text,
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         FROM documents
         WHERE n_chars BETWEEN 100 AND 5000

@@ -85,28 +85,64 @@ def market_branch(parsed: DataFrame) -> DataFrame:
 
 
 def quarantine_branch(parsed: DataFrame) -> DataFrame:
-    """Everything else, tagged with a reason: malformed JSON (null
-    struct), warm-start sentinel (dashboard.py:403-405), constraint
-    failures, unparseable timestamps. The reference only logs these
-    (dashboard.py:407-414); the engine keeps them queryable."""
-    no_id = F.col("facility_id").isNull() & F.col("region_id").isNull()
-    empty_id = (F.col("facility_id").isNotNull() & (F.length("facility_id") < 1)) | (
-        F.col("region_id").isNotNull() & (F.length("region_id") < 1)
+    """Everything the facility/market branches do NOT route, tagged
+    with a reason: malformed JSON (null struct), warm-start sentinel
+    (dashboard.py:403-405), constraint failures, unparseable
+    timestamps. The reference only logs these (dashboard.py:407-414);
+    the engine keeps them queryable.
+
+    Partition contract: the outer gate is the NEGATION of the routing
+    predicates, so the three branches are disjoint by construction —
+    an event with a valid facility_id and a junk region fragment is
+    ROUTED, not also quarantined (reason predicates previously
+    overlapped the branches). Null three-valued logic is collapsed
+    with coalesce so a null-timestamp row labels as
+    short_or_null_timestamp instead of falling through every NULL
+    predicate to the fallback."""
+
+    def _b(c: Column) -> Column:  # three-valued -> two-valued
+        return F.coalesce(c, F.lit(False))
+
+    parsed_ts_ok = F.try_to_timestamp("timestamp").isNotNull()
+    fac_ok = _b(
+        F.col("facility_id").isNotNull()
+        & (F.length("facility_id") >= 1)
+        & _valid_ts()
+        & parsed_ts_ok
     )
-    sentinel = no_id & (F.col("timestamp") == "starting...")
-    malformed = no_id & F.col("timestamp").isNull() & F.col("price_dmwh").isNull()
-    bad_ts = ~_valid_ts() & ~sentinel & ~malformed
-    unparseable = _valid_ts() & F.try_to_timestamp("timestamp").isNull()
+    mkt_ok = _b(
+        F.col("region_id").isNotNull()
+        & (F.length("region_id") >= 1)
+        & _valid_ts()
+        & parsed_ts_ok
+    )
+    no_id = F.col("facility_id").isNull() & F.col("region_id").isNull()
+    empty_id = _b(
+        (F.col("facility_id").isNotNull() & (F.length("facility_id") < 1))
+        | (F.col("region_id").isNotNull() & (F.length("region_id") < 1))
+    )
+    sentinel = _b(no_id & (F.col("timestamp") == "starting..."))
+    malformed = _b(
+        no_id
+        & F.col("timestamp").isNull()
+        & F.col("price_dmwh").isNull()
+        & F.col("demand_mw").isNull()
+        & F.col("power_mw").isNull()
+    )
+    bad_ts = ~_b(_valid_ts()) & ~sentinel & ~malformed
+    unparseable = _b(_valid_ts()) & ~parsed_ts_ok
     reason = (
         F.when(malformed, "malformed_json")
         .when(sentinel, "warm_start_sentinel")
         .when(empty_id, "empty_id")
         .when(bad_ts, "short_or_null_timestamp")
         .when(unparseable, "unparseable_timestamp")
-        .when(no_id, "unroutable")
+        .otherwise("unroutable")
     )
-    return parsed.withColumn("reason", reason).filter(F.col("reason").isNotNull()).select(
-        "raw", "reason"
+    return (
+        parsed.filter(~(fac_ok | mkt_ok))
+        .withColumn("reason", reason)
+        .select("raw", "reason")
     )
 
 

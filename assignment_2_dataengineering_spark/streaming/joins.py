@@ -29,14 +29,18 @@ def stream_interval_join(
     side's buffered state is bounded by watermark + bound; late rows
     beyond the watermark drop instead of growing state. Batch: the
     identical plan degenerates to a normal join + range filter, which
-    is what the e2e test compares against."""
+    is what the e2e test compares against.
+
+    Columns resolve against their OWN frame (l[...], r[...]) — bare
+    F.col raised AMBIGUOUS_REFERENCE for the natural call where both
+    sides carry the ingest-standard 'ts' name."""
     l, r = left, right
     if l.isStreaming:
         l = l.withWatermark(ts_left, watermark)
     if r.isStreaming:
         r = r.withWatermark(ts_right, watermark)
-    cond = (F.col(key_left) == F.col(key_right)) & F.col(ts_right).between(
-        F.col(ts_left) - F.expr(f"INTERVAL {bound}"),
-        F.col(ts_left) + F.expr(f"INTERVAL {bound}"),
+    cond = (l[key_left] == r[key_right]) & r[ts_right].between(
+        l[ts_left] - F.expr(f"INTERVAL {bound}"),
+        l[ts_left] + F.expr(f"INTERVAL {bound}"),
     )
     return l.join(r, cond, how)

@@ -20,6 +20,7 @@ equivalents, in order of fidelity vs practicality:
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
 
@@ -116,7 +117,16 @@ class MqttForeachSink:
         return True
 
     def process(self, row) -> None:  # pragma: no cover
-        self._client.publish(self.topic, row["json"], qos=self.qos).wait_for_publish()
+        # bounded wait: a broker disconnect mid-batch otherwise blocks
+        # the executor task forever (paho queues the QoS-1 publish and
+        # waits for a PUBACK that never comes); raising converts the
+        # hang into a retryable task failure
+        info = self._client.publish(self.topic, row["json"], qos=self.qos)
+        info.wait_for_publish(timeout=30)
+        if not info.is_published():
+            raise TimeoutError(
+                f"MQTT publish not acked within 30s (mid={info.mid})"
+            )
 
     def close(self, error) -> None:  # pragma: no cover
         self._client.loop_stop()
@@ -160,9 +170,19 @@ class MqttFileBridge:
         self._client_factory = client_factory
         self._buf: list[str] = []
         self._lock = threading.Lock()
-        self._n = 0
-        self._base = int(time.time()) - 86_400
         os.makedirs(out_dir, exist_ok=True)
+        # RESUME numbering past any chunks already in out_dir: a
+        # restarted bridge starting at 0 would overwrite
+        # mqtt-000000.jsonl — a path FileStreamSource has already
+        # committed and will never re-read, silently losing both the
+        # clobbered old chunk and every new payload written into it
+        existing = [
+            int(m.group(1))
+            for f in os.listdir(out_dir)
+            if (m := re.match(r"mqtt-(\d{6})\.jsonl$", f))
+        ]
+        self._n = max(existing) + 1 if existing else 0
+        self._base = int(time.time()) - 86_400 + self._n
 
     # paho on_message signature is identical in the v1 and v2 callback APIs
     def _on_message(self, client, userdata, msg) -> None:

@@ -24,9 +24,16 @@ def latest_snapshot_batch(events: DataFrame, key: str, ts_col: str = "ts") -> Da
     a newer event missing a field does NOT erase the older value).
 
     last(col, ignorenulls=True) over a ts-ordered window per key; one
-    shuffle on the key."""
+    shuffle on the key. Ties at the SAME (key, ts) order by the
+    measure values ascending — a deterministic total order, where a
+    bare ts sort left the winner partition-layout-dependent. (The
+    arrival-ordered streaming variants resolve the same tie by arrival
+    instead: batch has no arrival order, so conflicting same-instant
+    readings should be pre-deduped when the two must agree —
+    windows.dedup_events does exactly that in the pipeline.)"""
     measures = [c for c in events.columns if c not in (key, ts_col, "timestamp")]
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc()).rowsBetween(
+    order = [F.col(ts_col).asc()] + [F.col(m).asc_nulls_first() for m in measures]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     merged = events.select(
@@ -34,7 +41,9 @@ def latest_snapshot_batch(events: DataFrame, key: str, ts_col: str = "ts") -> Da
         F.col(ts_col),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in measures],
     )
-    w2 = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    w2 = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), *[F.col(m).desc_nulls_last() for m in measures]
+    )
     return (
         merged.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)
@@ -193,7 +202,10 @@ def enrichment_upsert_batch(
             new_rows = fetched.join(
                 dim.select(key), key, "left_anti"
             ).localCheckpoint()
-            dim_state["df"] = dim.unionByName(new_rows)
+            # checkpoint the UNION too: without it batch k's anti-join
+            # re-evaluates a k-deep union chain (unbounded plan growth
+            # — the hazard merge_snapshot_batch documents and avoids)
+            dim_state["df"] = dim.unionByName(new_rows).localCheckpoint()
             if write_back is not None:
                 write_back(new_rows)
 

@@ -25,9 +25,13 @@ def test_pii_scrub_redacts_each_type(spark):
     rows = [
         (1, "mail bob.smith+x@sub.example.org now"),
         (2, "server at 192.168.0.1 fell over"),
-        (3, "call +61 2 9374 4000 today"),
+        (3, "call +61-2-9374-4000 today"),
         (4, "nothing sensitive here at all"),
         (5, "a@b.co and 10.0.0.255 and 0412-345-678"),
+        # space-separated phones are a DOCUMENTED false negative since
+        # round 4: the space-spanning pattern collapsed year lists and
+        # number tables into [PHONE] (precision over recall)
+        (6, "call +61 2 9374 4000 today"),
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     out = {
@@ -39,6 +43,7 @@ def test_pii_scrub_redacts_each_type(spark):
     assert out[3] == "call [PHONE] today"
     assert out[4] == "nothing sensitive here at all"
     assert out[5] == "[EMAIL] and [IP] and [PHONE]"
+    assert out[6] == "call +61 2 9374 4000 today"
 
 
 def test_dedup_tokens_ordered_keeps_first_occurrence(spark):
@@ -113,3 +118,23 @@ def test_boilerplate_scores_flags_planted_template(spark):
         # the fillerN tail grams are unique to each doc -> not common
         assert out[i]["n_common"] < out[i]["n_grams"]
         assert 0.0 < out[i]["boilerplate_ratio"] < 1.0
+
+
+def test_pii_scrub_preserves_space_separated_number_runs(spark):
+    """The phone pattern must not span spaces: a year list is ordinary
+    data, not a phone number (precision-over-recall for scrubbing —
+    dashes-only separators)."""
+    from assignment_2_dataengineering_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "revenues were 1999 2000 2001 2002 in order"),
+            (2, "call +61-2-9374-4000 now"),
+            (3, "card 1234-5678-9012"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", pii_scrub(F.col("text")).alias("t")).collect()}
+    assert got[1] == "revenues were 1999 2000 2001 2002 in order"
+    assert "[PHONE]" in got[2]
+    assert "[PHONE]" in got[3]

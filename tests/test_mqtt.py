@@ -36,8 +36,11 @@ class _FakeBroker:
 
 
 class _FakePubInfo:
-    def wait_for_publish(self):
+    def wait_for_publish(self, timeout=None):
         pass
+
+    def is_published(self):
+        return True
 
 
 class _FakeClient:

@@ -126,3 +126,26 @@ def test_learn_on_empty_and_tiny_corpus(spark):
     one = spark.createDataFrame([("x",)], "text string")
     rows = learn_bpe_merges(one, num_merges=4).orderBy("merge_rank").collect()
     assert [r.pair for r in rows] == ["x </w>"]
+
+
+def test_bpe_encode_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary fully merges before num_merges rounds:
+    the engine applies the shorter learned list; the oracle's empty
+    b{r} CTEs must be identity rounds (LEFT JOIN ON TRUE), not a cross
+    join that wipes every document row."""
+    import duckdb
+
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+
+    df = spark.createDataFrame([(i, "ab ab") for i in range(3)], "doc_id long, text string")
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spec = all_specs()["q_bpe_encode"]
+    srows = sorted(tuple(r) for r in spec.fn(spark, d).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(con.sql(spec.oracle).fetchall())
+    assert srows == drows
+    assert len(srows) == 3  # every document present
