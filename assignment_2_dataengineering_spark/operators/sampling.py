@@ -175,8 +175,19 @@ def two_phase_global_rank(
     ]
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # EAGER localCheckpoint: repartitionByRange picks boundaries by
+    # SAMPLING, and the offsets aggregate and the windowed main stream
+    # are two separately-planned subtrees — each instance samples its
+    # own boundaries, and unless runtime exchange reuse dedupes them
+    # the offsets describe a different partitioning than the window
+    # reads (observed: wrong prefix sums at some partition counts).
+    # Checkpointing pins ONE partition assignment for both consumers;
+    # the result is boundary-placement invariant, so this also makes
+    # the output run-deterministic.
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -230,8 +241,19 @@ def two_phase_prefix_sum(
     sort_cols = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by]
     if partitions is None:
         partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # EAGER localCheckpoint: repartitionByRange picks boundaries by
+    # SAMPLING, and the offsets aggregate and the windowed main stream
+    # are two separately-planned subtrees — each instance samples its
+    # own boundaries, and unless runtime exchange reuse dedupes them
+    # the offsets describe a different partitioning than the window
+    # reads (observed: wrong prefix sums at some partition counts).
+    # Checkpointing pins ONE partition assignment for both consumers;
+    # the result is boundary-placement invariant, so this also makes
+    # the output run-deterministic.
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
