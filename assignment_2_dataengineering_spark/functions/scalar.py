@@ -11,15 +11,23 @@ from pyspark.sql import functions as F
 
 
 def strip_prefix(col: Column, prefix: str) -> Column:
-    """F1: recover `<FAC>` from `power_<FAC>` (publisher.py:49-50)."""
-    return F.regexp_replace(col, f"^{prefix}_", "")
+    """F1: recover `<FAC>` from `power_<FAC>` (publisher.py:49-50).
+    The prefix is regex-ESCAPED: a metacharacter in it ('p+v', 'a.b')
+    would otherwise strip the wrong thing or raise at execution."""
+    import re
+
+    return F.regexp_replace(col, f"^{re.escape(prefix)}_", "")
 
 
 def metric_code(metric: Column | str, code: Column | str) -> Column:
-    """F2: flatten `{metric}_{code}` (extractor.py:303-305)."""
+    """F2: flatten `{metric}_{code}` (extractor.py:303-305). NULL
+    PROPAGATES (F.concat, not concat_ws): a null code must surface as
+    a null name, not silently collapse to the bare metric and mint a
+    phantom column downstream — matching the reference's f-string,
+    which would render the bad key visibly."""
     m = F.lit(metric) if isinstance(metric, str) else metric
     c = F.lit(code) if isinstance(code, str) else code
-    return F.concat_ws("_", m, c)
+    return F.concat(m, F.lit("_"), c)
 
 
 def parse_ts(col: Column) -> Column:
@@ -35,12 +43,16 @@ def coerce_double(col: Column, default: float = 0.0) -> Column:
     return F.coalesce(col.try_cast("double"), F.lit(default))
 
 
-def marker_size(value: Column, p95: Column) -> Column:
-    """F9: `12 + 24*sqrt(clip(v/p95, 0, 1))` (dashboard.py:215-218),
-    guarded against p95==0 (ANSI division)."""
+def marker_size(
+    value: Column, p95: Column, lo: float = 12.0, span: float = 24.0
+) -> Column:
+    """F9: `lo + span*sqrt(clip(v/p95, 0, 1))` (dashboard.py:215-218),
+    guarded against p95==0 (ANSI division); null value/ratio clips to
+    the smallest marker. THE single home of the scaling formula —
+    plans/dashboard.marker_sizes delegates here."""
     ratio = value / F.nullif(p95, F.lit(0.0))
     clipped = F.least(F.greatest(F.coalesce(ratio, F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
-    return F.lit(12.0) + F.lit(24.0) * F.sqrt(clipped)
+    return F.lit(lo) + F.lit(span) * F.sqrt(clipped)
 
 
 def format_metric(value: Column, unit: str = "MW", threshold: float = 1000.0) -> Column:

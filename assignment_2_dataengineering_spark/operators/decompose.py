@@ -37,12 +37,18 @@ def grouped_pca(
     LAPACK is then bit-deterministic for a given group. Groups with
     fewer rows than components emit what rank allows.
     """
+    # group column keeps ITS OWN type — hardcoding int crashed string
+    # labels and truncated int64 ones
+    gtype = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} int, component int, explained_ratio double, vector array<double>"
+        f"{group_col} {gtype}, component int, explained_ratio double,"
+        " vector array<double>"
     )
 
     def pca(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        # stable sort: duplicate ids must order identically to the
+        # Arrow twin's stable argsort or near-degenerate SVDs diverge
+        pdf = pdf.sort_values(id_col, kind="stable")
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         Xc = X - X.mean(axis=0, keepdims=True)
         _, s, vt = np.linalg.svd(Xc, full_matrices=False)
@@ -84,8 +90,12 @@ def grouped_pca_arrow(
     import pyarrow as pa
 
     out_schema = (
-        f"{group_col} int, component int, explained_ratio double, vector array<double>"
+        f"{group_col} {df.schema[group_col].dataType.simpleString()},"
+        " component int, explained_ratio double, vector array<double>"
     )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    group_pa_type = to_arrow_type(df.schema[group_col].dataType)
 
     def pca(table: "pa.Table") -> "pa.Table":
         ids = table.column(id_col).to_numpy(zero_copy_only=False)
@@ -107,7 +117,10 @@ def grouped_pca_arrow(
             vectors.append(v.tolist())
         return pa.table(
             {
-                group_col: pa.array([group_val] * len(comps), pa.int32()),
+                # build with the DECLARED group type (int32 hardcoding
+                # crashed string labels and truncated int64; bare
+                # inference can mismatch the declared schema)
+                group_col: pa.array([group_val] * len(comps), type=group_pa_type),
                 "component": pa.array(comps, pa.int32()),
                 "explained_ratio": pa.array(ratios, pa.float64()),
                 "vector": pa.array(vectors, pa.list_(pa.float64())),

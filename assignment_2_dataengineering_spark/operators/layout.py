@@ -34,10 +34,12 @@ def intdiv(a: Column, b: Column) -> Column:
 def rank_scale(x: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     """Min-max normalize an integer column into [0, 2^bits): floor((x -
     mn) · (2^bits - 1) / (mx - mn)). Degenerate mx == mn maps to 0."""
-    span = mx - mn
-    top = F.lit((1 << bits) - 1)
+    span = mx.cast("long") - mn.cast("long")
+    # LONG literal: an IntegerType lit keeps the multiply in 32-bit,
+    # which overflows (ANSI crash) for int32 keys with span > 32767
+    top = F.lit((1 << bits) - 1).cast("long")
     return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
-        intdiv((x - mn) * top, span)
+        intdiv((x.cast("long") - mn.cast("long")) * top, span)
     )
 
 

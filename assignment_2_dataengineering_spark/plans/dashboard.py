@@ -80,9 +80,15 @@ def marker_sizes(
         .agg(F.percentile_approx(value_col, 0.95).alias("p95"))
         .select(F.coalesce("p95", F.lit(1.0)).alias("p95"))
     )
-    frac = F.least(F.greatest(F.col(value_col) / F.col("p95"), F.lit(0.0)), F.lit(1.0))
+    # the formula lives ONCE in functions/scalar.marker_size (F9);
+    # null values clip to the smallest marker there
+    from ..functions.scalar import marker_size
+
     return (
         snap.crossJoin(F.broadcast(p95))
-        .withColumn("marker_px", F.round(F.lit(lo) + F.lit(span) * F.sqrt(frac), 2))
+        .withColumn(
+            "marker_px",
+            F.round(marker_size(F.col(value_col), F.col("p95"), lo, span), 2),
+        )
         .drop("p95")
     )

@@ -77,17 +77,27 @@ def unit_to_facility(facilities: DataFrame) -> DataFrame:
 def rollup_readings(readings: DataFrame, unit_dim: DataFrame) -> DataFrame:
     """transform_facility_data (extractor.py:192-248):
 
-    - semi-join drop of unit codes not in the operating dim (P3,
-      extractor.py:216-218) — broadcast left_semi, no shuffle of facts;
+    - broadcast INNER join to the operating unit dim (P3 drop of
+      unknown units AND the unit→facility MAPPING in one step,
+      extractor.py:216-218) — the dim's facility_id is authoritative;
+      grouping on the fact row's own denormalized facility_code would
+      silently misattribute readings whose embedded code is
+      null/stale, and would break entirely on sources (like
+      extract.facility_responses_to_long) that carry no facility
+      column at all;
     - tz-aware timestamp parse (F3) with null-drop (P6);
     - unit→facility rollup: groupBy(facility, ts).sum (A1,
       extractor.py:242-246) — the single shuffle.
     """
-    kept = readings.join(F.broadcast(unit_dim.select("unit_code")), "unit_code", "left_semi")
+    kept = readings.join(
+        F.broadcast(unit_dim.select("unit_code", "facility_id")), "unit_code"
+    )
     parsed = kept.withColumn("ts", F.try_to_timestamp(F.col("timestamp"))).filter(
         F.col("ts").isNotNull()
     )
-    return parsed.groupBy("facility_code", "ts").agg(
+    return parsed.groupBy(
+        F.col("facility_id").alias("facility_code"), F.col("ts")
+    ).agg(
         F.round(F.sum("power"), 4).alias("power"),
         F.round(F.sum("emission"), 4).alias("emission"),
     )

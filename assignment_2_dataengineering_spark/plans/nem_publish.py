@@ -41,25 +41,30 @@ def _entity_events(
     out_a: str,
     out_b: str,
 ) -> DataFrame:
-    """Unpivot two metric column families and pair them per entity:
-    (timestamp, code, a, b). The unpivots are narrow (no shuffle); the
-    pair-up is a join on (timestamp, code) that AQE resolves against
-    co-partitioned inputs."""
+    """Pair two metric column families per entity: (timestamp, code,
+    a, b). Both values come from the SAME input row of the wide cache,
+    so this is one narrow struct-explode projection — the previous
+    two-unpivot + shuffle-join form scanned the cache twice and paid a
+    join whose both sides were the same rows (round-4 review
+    finding)."""
     codes = wide_columns_to_codes(wide, metric_a)
-    a_cols = [f"{metric_a}_{c}" for c in codes]
-    b_cols = [f"{metric_b}_{c}" for c in codes]
-    plen_a, plen_b = len(metric_a) + 1, len(metric_b) + 1
-    a = unpivot_long(wide.select("timestamp", *a_cols), ["timestamp"], a_cols, "m", "va").select(
-        "timestamp", F.expr(f"substring(m, {plen_a + 1})").alias(id_name), "va"
-    )
-    b = unpivot_long(wide.select("timestamp", *b_cols), ["timestamp"], b_cols, "m", "vb").select(
-        "timestamp", F.expr(f"substring(m, {plen_b + 1})").alias(id_name), "vb"
-    )
-    return a.join(b, ["timestamp", id_name]).select(
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("id"),
+                    F.col(f"{metric_a}_{c}").alias("va"),
+                    F.col(f"{metric_b}_{c}").alias("vb"),
+                )
+                for c in codes
+            ]
+        )
+    ).alias("p")
+    return wide.select("timestamp", pairs).select(
         "timestamp",
-        id_name,
-        F.coalesce("va", F.lit(0.0)).alias(out_a),
-        F.coalesce("vb", F.lit(0.0)).alias(out_b),
+        F.col("p.id").alias(id_name),
+        F.coalesce("p.va", F.lit(0.0)).alias(out_a),
+        F.coalesce("p.vb", F.lit(0.0)).alias(out_b),
     )
 
 
