@@ -2290,13 +2290,16 @@ def q_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     ),
     t AS (
-        SELECT CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS num2,
+        SELECT CAST(sum(CAST(pos AS DECIMAL(38,0))
+                        * (2 * CAST(cum_before AS DECIMAL(38,0)) + cnt + 1))
+                    AS DECIMAL(38,0)) AS num2,
                CAST(sum(pos) AS BIGINT) AS p,
                CAST(sum(cnt - pos) AS BIGINT) AS nn
         FROM c
     )
     SELECT p AS n_pos, nn AS n_neg,
-           round((num2 - p * (p + 1.0)) / (2.0 * p * nn), 6) AS auc
+           round(CAST(num2 - CAST(p AS DECIMAL(38,0)) * (p + 1) AS DOUBLE)
+                 / nullif(2.0 * p * nn, 0.0), 6) AS auc
     FROM t
     """,
     tags=("ml", "eval", "stats"),
@@ -2328,10 +2331,18 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
     c = two_phase_prefix_sum(g, [("score", True)], "cnt", "cum_before")
+    # num2 = Σ pos·(2·cum_before+cnt+1) overflows BIGINT around
+    # 2·P·N ≈ 2^63 — reachable at 10^11-10^12 events — so the whole
+    # product/sum runs in DECIMAL(38,0) (exact to 10^38, matching the
+    # oracle's HUGEINT headroom); p·(p+1) likewise stays exact, and the
+    # single double conversion happens only at the final quotient.
+    # nullif guards the degenerate P=0 or N=0 corpus (AUC undefined →
+    # NULL, not NaN).
     t = c.agg(
         F.sum(
-            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
-        ).alias("num2"),
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cum_before").cast("decimal(38,0)") + F.col("cnt") + 1)
+        ).cast("decimal(38,0)").alias("num2"),
         F.sum("pos").cast("long").alias("p"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
     )
@@ -2339,8 +2350,11 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("n_pos"),
         F.col("nn").alias("n_neg"),
         F.round(
-            (F.col("num2") - F.col("p") * (F.col("p") + 1.0))
-            / (2.0 * F.col("p") * F.col("nn")),
+            (
+                F.col("num2")
+                - F.col("p").cast("decimal(38,0)") * (F.col("p") + 1)
+            ).cast("double")
+            / F.nullif(2.0 * F.col("p") * F.col("nn"), F.lit(0.0)),
             6,
         ).alias("auc"),
     )

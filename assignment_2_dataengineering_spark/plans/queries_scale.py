@@ -402,10 +402,14 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = rollup_bloom(fine, ["event_type"])
     types = ev.select("event_type").distinct()
     probes = types.crossJoin(
-        spark.range(0, 20)
-        .select(F.col("id").alias("user_id"))
-        .unionByName(
-            spark.range(10_000_000, 10_000_005).select(F.col("id").alias("user_id"))
+        F.broadcast(
+            spark.range(0, 20)
+            .select(F.col("id").alias("user_id"))
+            .unionByName(
+                spark.range(10_000_000, 10_000_005).select(
+                    F.col("id").alias("user_id")
+                )
+            )
         )
     )
     return member_bloom(probes, merged, ["event_type"], "user_id").orderBy(

@@ -311,8 +311,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
         .select(
             "n_view",
             "n_click",

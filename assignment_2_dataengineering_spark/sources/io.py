@@ -133,8 +133,54 @@ def compact_parquet(
     IN-PLACE compaction (output path among the input paths — the
     standing-job case) is staged: Spark refuses to overwrite a path it
     is reading from, so the rewrite lands in a sibling temp directory
-    that then atomically-ish swaps into place (rename, keep the old
-    data as .bak until the swap completes)."""
+    that then swaps into place. In-place detection is a PREFIX match
+    over the normalized input-file paths (not just the immediate parent
+    directory), so a partitioned dataset (path/day=X/part.parquet)
+    compacted into its own root is still detected (round-4 advisor
+    finding). The staged swap uses os.rename and is LOCAL-FS ONLY: an
+    in-place target on a remote scheme (hdfs://, s3a://) raises rather
+    than silently overwriting a path being read. The swap is two
+    renames, so a crash between them can leave the table absent with
+    the data intact in `.bak` — the next invocation (it is a standing
+    job) recovers: a `.bak` next to a missing table is renamed back
+    before compacting, and a `.bak` next to a present table (crash
+    after the swap, before cleanup) is deleted."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    def _norm(p: str) -> tuple[str, str]:
+        # (scheme, normalized-path) so file:/a/b, file:///a/b and /a/b
+        # all compare equal, and hdfs vs s3a never cross-match
+        u = urlparse(p)
+        if u.scheme in ("", "file"):
+            return ("file", os.path.abspath(u.path or p))
+        return (u.scheme, (u.netloc + u.path).rstrip("/"))
+
+    t_scheme, t_path = _norm(path)
+    bak = path.rstrip("/") + "._compact_bak"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if t_scheme == "file" and os.path.isdir(bak):
+        # recover a previous crashed swap before counting/planning
+        if os.path.isdir(path):
+            shutil.rmtree(bak)  # crashed after swap, before cleanup
+        else:
+            os.rename(bak, path)  # crashed between the two renames
+    if t_scheme == "file" and os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # torn rewrite from a crashed attempt
+
+    in_place = any(
+        s == t_scheme and (fp == t_path or fp.startswith(t_path + os.sep))
+        for s, fp in (_norm(f) for f in df.inputFiles())
+    )
+    if in_place and t_scheme != "file":
+        raise ValueError(
+            f"in-place compaction of {path!r} requires a local filesystem "
+            "path (the staged os.rename swap cannot run on "
+            f"{t_scheme}://) — write to a new location and flip a "
+            "pointer (streaming/publish.py) instead"
+        )
+
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))
     if cluster_by:
@@ -143,18 +189,7 @@ def compact_parquet(
         out = df.repartition(files)
     writer = out.write.option("maxRecordsPerFile", target_rows_per_file).mode(mode)
 
-    import os
-    import shutil
-
-    target = os.path.abspath(path)
-    input_dirs = {
-        os.path.abspath(os.path.dirname(f).removeprefix("file:"))
-        for f in df.inputFiles()
-    }
-    in_place = os.path.isdir(path) and target in input_dirs
     if in_place:
-        tmp = path.rstrip("/") + "._compact_tmp"
-        bak = path.rstrip("/") + "._compact_bak"
         writer.parquet(tmp)
         os.rename(path, bak)
         os.rename(tmp, path)

@@ -42,27 +42,13 @@ pinned in tests/test_embedding_index.py.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..operators.dedup import bucket_pairs
 from ..operators.similarity import vector_band_buckets, verify_cosine_pairs
-
-_META = "_last_batch.json"
-
-
-def _read_or_none(spark, path: str, cols: list[str] | None = None) -> DataFrame | None:
-    """Read a (possibly batch_id-partitioned) index table, projecting
-    away the partition column so unions with in-flight batch frames
-    line up."""
-    try:
-        df = spark.read.parquet(path)
-        return df.select(*cols) if cols else df
-    except Exception:
-        return None
+from .publish import HWM_NAME, already_applied, commit_meta, read_table_or_none
 
 
 def incremental_embedding_near_dup_batch(
@@ -82,21 +68,20 @@ def incremental_embedding_near_dup_batch(
     buckets_path = os.path.join(index_dir, "buckets")
     vecs_path = os.path.join(index_dir, "vecs")
     pairs_path = os.path.join(index_dir, "pairs")
-    meta_path = os.path.join(index_dir, _META)
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                if batch_id <= json.load(f)["last_batch"]:
-                    return  # replayed batch — already applied
+        if already_applied(index_dir, batch_id, name=HWM_NAME):
+            return  # replayed batch — already applied
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, vec_col)
 
         new_buckets = vector_band_buckets(
             batch_df, id_col, vec_col, dim, n_planes, bands, seed
         )
-        old_buckets = _read_or_none(spark, buckets_path, [id_col, "band", "bucket"])
-        old_vecs = _read_or_none(spark, vecs_path, [id_col, vec_col])
+        old_buckets = read_table_or_none(
+            spark, buckets_path, [id_col, "band", "bucket"]
+        )
+        old_vecs = read_table_or_none(spark, vecs_path, [id_col, vec_col])
 
         # ids being re-delivered after a mid-batch crash already sit in
         # the index: drop their STALE indexed copies from the probe and
@@ -149,9 +134,6 @@ def incremental_embedding_near_dup_batch(
             f"{buckets_path}/batch_id={batch_id}"
         )
         batch_df.write.mode("overwrite").parquet(f"{vecs_path}/batch_id={batch_id}")
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id}, f)
-        os.replace(tmp, meta_path)
+        commit_meta(index_dir, {"last_batch": batch_id}, name=HWM_NAME)
 
     return worker

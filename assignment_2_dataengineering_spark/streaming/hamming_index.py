@@ -33,26 +33,13 @@ than a one-shot cap, and the pinned contract is capped ⊆ uncapped.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import hamming_band_buckets
-
-_META = "_last_batch.json"
-
-
-def _read_or_none(spark, path: str, cols: list[str] | None = None) -> DataFrame | None:
-    """Read a (possibly batch_id-partitioned) index table, projecting
-    away the partition column so unions with in-flight batch frames
-    line up."""
-    try:
-        df = spark.read.parquet(path)
-        return df.select(*cols) if cols else df
-    except Exception:
-        return None
+from .publish import HWM_NAME, already_applied, commit_meta, read_table_or_none
 
 
 def incremental_hamming_near_dup_batch(
@@ -68,20 +55,17 @@ def incremental_hamming_near_dup_batch(
     plus a batch high-water-mark for replay idempotence."""
     buckets_path = os.path.join(index_dir, "buckets")
     pairs_path = os.path.join(index_dir, "pairs")
-    meta_path = os.path.join(index_dir, _META)
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                if batch_id <= json.load(f)["last_batch"]:
-                    return  # replayed batch — already applied
+        if already_applied(index_dir, batch_id, name=HWM_NAME):
+            return  # replayed batch — already applied
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, sig_col)
 
         new_buckets = hamming_band_buckets(
             batch_df, id_col, sig_col, max_hamming, blocks
         )
-        old_buckets = _read_or_none(
+        old_buckets = read_table_or_none(
             spark, buckets_path, [id_col, sig_col, "band", "bucket"]
         )
         # crash-redelivered ids already sit in the index — drop their
@@ -147,9 +131,6 @@ def incremental_hamming_near_dup_batch(
         new_buckets.write.mode("overwrite").parquet(
             f"{buckets_path}/batch_id={batch_id}"
         )
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch": batch_id}, f)
-        os.replace(tmp, meta_path)
+        commit_meta(index_dir, {"last_batch": batch_id}, name=HWM_NAME)
 
     return worker

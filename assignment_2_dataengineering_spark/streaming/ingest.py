@@ -113,6 +113,7 @@ def quarantine_branch(parsed: DataFrame) -> DataFrame:
     mkt_ok = _b(
         F.col("region_id").isNotNull()
         & (F.length("region_id") >= 1)
+        & F.col("facility_id").isNull()
         & _valid_ts()
         & parsed_ts_ok
     )

@@ -26,9 +26,13 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 META_NAME = "_current.json"
+# high-water-mark file for append-shaped / index tables (the near-dup
+# indexes and sketch partials) — distinct from the versioned-table
+# pointer so a directory can never be read as both
+HWM_NAME = "_last_batch.json"
 
 
 def read_meta(table_dir: str, name: str = META_NAME) -> dict | None:
@@ -51,6 +55,24 @@ def commit_meta(table_dir: str, payload: dict, name: str = META_NAME) -> None:
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, os.path.join(table_dir, name))
+
+
+def read_table_or_none(
+    spark: SparkSession, path: str, cols: list[str] | None = None
+) -> DataFrame | None:
+    """Read a (possibly batch_id-partitioned) maintained table,
+    projecting away the partition column so unions with in-flight batch
+    frames line up. ONLY a missing path means "no history yet" — a
+    genuine read failure (corrupt footer, permissions, transient FS
+    error) PROPAGATES so the batch fails and retries, instead of
+    silently verifying against an empty index and committing the
+    high-water-mark, which would permanently drop every new-vs-old pair
+    for the batch (round-4 advisor finding: a blanket `except
+    Exception: return None` did exactly that)."""
+    if not os.path.isdir(path):
+        return None
+    df = spark.read.parquet(path)
+    return df.select(*cols) if cols else df
 
 
 def publish_version(df: DataFrame, table_dir: str, batch_id: int) -> str:

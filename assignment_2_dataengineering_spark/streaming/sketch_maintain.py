@@ -26,9 +26,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .publish import HWM_NAME as _META
 from .publish import already_applied, commit_meta
-
-_META = "_last_batch.json"
 
 
 def incremental_sketch_batch(

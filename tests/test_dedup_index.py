@@ -143,3 +143,36 @@ def test_crash_before_hwm_commit_then_redelivery_is_clean(spark, tmp_path):
     worker(_mkdf(spark, BATCHES[1]), 1)  # redelivery
     assert _pairs(spark, index_dir) == before
     assert spark.read.parquet(os.path.join(index_dir, "docs")).count() == n_docs
+
+
+def test_unreadable_index_fails_batch_instead_of_empty_probe(spark, tmp_path):
+    """Round-4 advisor finding: a transiently unreadable/corrupt bucket
+    store must FAIL the batch (so streaming retries) — a blanket
+    'no history' fallback would verify against an empty index, commit
+    the high-water-mark, and permanently miss every new-vs-old pair.
+    Only a genuinely missing path means no history."""
+    import pytest
+
+    from assignment_2_dataengineering_spark.streaming.publish import (
+        read_table_or_none,
+    )
+
+    # missing path → None (first batch ever)
+    assert read_table_or_none(spark, str(tmp_path / "nope")) is None
+
+    index_dir = str(tmp_path / "ndidx_corrupt")
+    worker = incremental_near_dup_batch(index_dir, **PARAMS)
+    worker(_mkdf(spark, BATCHES[0]), 0)
+    # corrupt every parquet footer in the bucket store
+    bdir = os.path.join(index_dir, "buckets")
+    for root, _, files in os.walk(bdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "r+b") as fh:
+                    fh.seek(-4, os.SEEK_END)
+                    fh.write(b"XXXX")
+    with pytest.raises(Exception):
+        worker(_mkdf(spark, BATCHES[1]), 1)
+    # the HWM must NOT have advanced past the failed batch
+    with open(os.path.join(index_dir, "_last_batch.json")) as f:
+        assert json.load(f)["last_batch"] == 0

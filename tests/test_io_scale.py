@@ -421,6 +421,64 @@ def test_compact_parquet_in_place_stage_and_swap(spark, tmp_path):
     assert not os.path.exists(p + "._compact_bak")
 
 
+def test_compact_parquet_in_place_detects_partitioned_dataset(spark, tmp_path):
+    """Round-4 advisor finding: in-place detection matched only the
+    IMMEDIATE parent of each input file, so a hive-partitioned dataset
+    (path/day=X/part.parquet) compacted into its own root fell through
+    to a direct overwrite of a path being read. Prefix match must stage
+    the swap instead."""
+    import os
+
+    from assignment_2_dataengineering_spark.sources.io import compact_parquet
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "parts")
+    (
+        spark.range(0, 1000)
+        .withColumn("day", (F.col("id") % 4).cast("int"))
+        .repartition(8)
+        .write.partitionBy("day")
+        .parquet(p)
+    )
+    df = spark.read.parquet(p)
+    compact_parquet(df, p, target_rows_per_file=500)
+    got = spark.read.parquet(p)
+    assert got.count() == 1000
+    assert {r[0] for r in got.select("id").collect()} == set(range(1000))
+    assert not os.path.exists(p + "._compact_tmp")
+    assert not os.path.exists(p + "._compact_bak")
+
+
+def test_compact_parquet_recovers_crashed_swap(spark, tmp_path):
+    """The two-rename swap's crash windows, healed on the next run:
+    (a) crash between the renames → table absent, data in .bak →
+    restored; (b) crash after the swap, before cleanup → table present,
+    stale .bak → deleted, not restored over the new data."""
+    import os
+
+    from assignment_2_dataengineering_spark.sources.io import compact_parquet
+
+    # (a) table absent, .bak holds the data; a non-in-place caller
+    # (df from elsewhere) triggers recovery before its own write
+    p = str(tmp_path / "crashed")
+    spark.range(0, 100).repartition(5).write.parquet(p)
+    os.rename(p, p + "._compact_bak")
+    src = str(tmp_path / "src")
+    spark.range(0, 10).write.parquet(src)
+    compact_parquet(spark.read.parquet(src), p, target_rows_per_file=50)
+    assert not os.path.exists(p + "._compact_bak")
+    assert spark.read.parquet(p).count() == 10  # restored, then written
+
+    # (b) stale .bak next to a PRESENT table must be deleted
+    q = str(tmp_path / "stale")
+    spark.range(0, 100).repartition(5).write.parquet(q)
+    spark.range(0, 1).write.parquet(q + "._compact_bak")
+    compact_parquet(spark.read.parquet(q), q, target_rows_per_file=50)
+    assert spark.read.parquet(q).count() == 100
+    assert not os.path.exists(q + "._compact_bak")
+    assert not os.path.exists(q + "._compact_tmp")
+
+
 def test_backfill_skips_null_dates(spark, tmp_path):
     """A null ts row must not abort the whole backfill (None.isoformat
     crash) — valid days still land."""

@@ -40,6 +40,30 @@ def test_routing_and_validation(parsed_batch, event_lines):
     assert "unparseable_timestamp" in reasons  # dashboard.py:26-27
 
 
+def test_empty_facility_id_with_valid_region_quarantined(spark):
+    """facility_id='' (non-null, length<1) + valid region_id must land in
+    quarantine as empty_id: facility_branch rejects length<1 and
+    market_branch requires facility_id IS NULL, so the quarantine gate —
+    the exact negation of the two routing predicates — must catch it
+    (round-4 advisor finding: mkt_ok omitted facility_id.isNull())."""
+    line = json.dumps(
+        {
+            "facility_id": "",
+            "region_id": "NSW1",
+            "timestamp": "2024-01-01T00:00:00+10:00",
+            "price_dmwh": 50.0,
+            "demand_mw": 7000.0,
+        }
+    )
+    raw = spark.createDataFrame([(line,)], "value string")
+    parsed = ingest.parse_events(raw)
+    n_fac = ingest.facility_branch(parsed).count()
+    n_mkt = ingest.market_branch(parsed).count()
+    quar = ingest.quarantine_branch(parsed).collect()
+    assert n_fac == 0 and n_mkt == 0
+    assert len(quar) == 1 and quar[0].reason == "empty_id"
+
+
 def test_missing_measures_default_zero(parsed_batch):
     # FIXTURES.md B8: event missing power_mw/co2_tonnes accepted with 0.0
     fac = ingest.facility_branch(parsed_batch)
