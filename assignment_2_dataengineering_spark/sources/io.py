@@ -109,6 +109,53 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def _norm_uri(p: str) -> tuple[str, str]:
+    """(scheme, normalized-path) so file:/a/b, file:///a/b and /a/b all
+    compare equal (and map to the same local filesystem path for
+    os/shutil operations), and hdfs vs s3a never cross-match."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return ("file", os.path.abspath(u.path or p))
+    return (u.scheme, (u.netloc + u.path).rstrip("/"))
+
+
+def recover_compaction(path: str) -> bool:
+    """Heal a crashed compact_parquet staged swap BEFORE reading `path`.
+
+    The in-place swap is two os.renames; a crash between them leaves the
+    table directory absent with the data intact in `.bak`. compact_parquet
+    itself recovers on its next run, but the standing-job caller typically
+    does `spark.read.parquet(path)` FIRST to build the input frame — that
+    read raises on the missing dir, so the job would stay down without
+    this standalone helper (round-5 advisor finding). Call it before
+    constructing the input DataFrame; it is a no-op when there is nothing
+    to heal. Returns True iff a `.bak` was restored or cleaned up.
+
+    All filesystem operations run on the NORMALIZED local path, so a
+    URI-form local path (file:/a/b) heals identically to /a/b."""
+    import os
+    import shutil
+
+    scheme, t_path = _norm_uri(path)
+    if scheme != "file":
+        return False
+    bak = t_path + "._compact_bak"
+    tmp = t_path + "._compact_tmp"
+    healed = False
+    if os.path.isdir(bak):
+        if os.path.isdir(t_path):
+            shutil.rmtree(bak)  # crashed after swap, before cleanup
+        else:
+            os.rename(bak, t_path)  # crashed between the two renames
+        healed = True
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # torn rewrite from a crashed attempt
+    return healed
+
+
 def compact_parquet(
     df: DataFrame,
     path: str,
@@ -141,37 +188,26 @@ def compact_parquet(
     in-place target on a remote scheme (hdfs://, s3a://) raises rather
     than silently overwriting a path being read. The swap is two
     renames, so a crash between them can leave the table absent with
-    the data intact in `.bak` — the next invocation (it is a standing
-    job) recovers: a `.bak` next to a missing table is renamed back
-    before compacting, and a `.bak` next to a present table (crash
-    after the swap, before cleanup) is deleted."""
+    the data intact in `.bak` — the next invocation recovers, and the
+    standalone `recover_compaction(path)` lets the CALLER heal before
+    its own spark.read.parquet(path) (which would raise on the missing
+    dir before this function ever ran — round-5 advisor finding). All
+    local-FS bookkeeping (bak/tmp, isdir/rename/rmtree) runs on the
+    NORMALIZED path, so a URI-form local target (file:/a/b) compacts
+    in place identically to /a/b."""
     import os
     import shutil
-    from urllib.parse import urlparse
 
-    def _norm(p: str) -> tuple[str, str]:
-        # (scheme, normalized-path) so file:/a/b, file:///a/b and /a/b
-        # all compare equal, and hdfs vs s3a never cross-match
-        u = urlparse(p)
-        if u.scheme in ("", "file"):
-            return ("file", os.path.abspath(u.path or p))
-        return (u.scheme, (u.netloc + u.path).rstrip("/"))
-
-    t_scheme, t_path = _norm(path)
-    bak = path.rstrip("/") + "._compact_bak"
-    tmp = path.rstrip("/") + "._compact_tmp"
-    if t_scheme == "file" and os.path.isdir(bak):
+    t_scheme, t_path = _norm_uri(path)
+    bak = t_path + "._compact_bak"
+    tmp = t_path + "._compact_tmp"
+    if t_scheme == "file":
         # recover a previous crashed swap before counting/planning
-        if os.path.isdir(path):
-            shutil.rmtree(bak)  # crashed after swap, before cleanup
-        else:
-            os.rename(bak, path)  # crashed between the two renames
-    if t_scheme == "file" and os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # torn rewrite from a crashed attempt
+        recover_compaction(path)
 
     in_place = any(
         s == t_scheme and (fp == t_path or fp.startswith(t_path + os.sep))
-        for s, fp in (_norm(f) for f in df.inputFiles())
+        for s, fp in (_norm_uri(f) for f in df.inputFiles())
     )
     if in_place and t_scheme != "file":
         raise ValueError(
@@ -191,8 +227,8 @@ def compact_parquet(
 
     if in_place:
         writer.parquet(tmp)
-        os.rename(path, bak)
-        os.rename(tmp, path)
+        os.rename(t_path, bak)
+        os.rename(tmp, t_path)
         shutil.rmtree(bak)
     else:
         writer.parquet(path)

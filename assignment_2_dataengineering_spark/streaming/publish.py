@@ -68,8 +68,47 @@ def read_table_or_none(
     silently verifying against an empty index and committing the
     high-water-mark, which would permanently drop every new-vs-old pair
     for the batch (round-4 advisor finding: a blanket `except
-    Exception: return None` did exactly that)."""
+    Exception: return None` did exactly that).
+
+    Two edges hardened per the round-5 advisory:
+    - LOCAL-FS ONLY, loudly: `os.path.isdir` always returns False for a
+      remote URI (hdfs://, s3a://), which would silently reinstate the
+      verify-against-empty-index data loss — so a non-local scheme
+      raises (mirroring compact_parquet's guard) instead of returning
+      None.
+    - A directory containing ONLY underscore/dot-prefixed entries
+      (`_temporary` from a crash during the first-ever write,
+      `_last_batch.json`, `._compact_*`) has no committed data files —
+      that is "no history yet", not a read error; without this, the
+      first-write crash left spark.read.parquet raising on every
+      redelivery, a permanent fail/retry loop."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"read_table_or_none({path!r}): maintained-table probes are "
+            "local-FS only (os.path.isdir cannot see a "
+            f"{scheme}:// path, and returning None here would silently "
+            "probe an empty index) — mount the index locally or extend "
+            "the helper with a real FileSystem listing"
+        )
     if not os.path.isdir(path):
+        return None
+
+    def _has_data(d: str) -> bool:
+        for entry in os.listdir(d):
+            if entry.startswith(("_", ".")):
+                continue
+            p = os.path.join(d, entry)
+            if os.path.isdir(p):
+                if _has_data(p):
+                    return True
+            else:
+                return True
+        return False
+
+    if not _has_data(path):
         return None
     df = spark.read.parquet(path)
     return df.select(*cols) if cols else df

@@ -176,3 +176,42 @@ def test_unreadable_index_fails_batch_instead_of_empty_probe(spark, tmp_path):
     # the HWM must NOT have advanced past the failed batch
     with open(os.path.join(index_dir, "_last_batch.json")) as f:
         assert json.load(f)["last_batch"] == 0
+
+
+def test_first_write_crash_temporary_only_dir_is_no_history(spark, tmp_path):
+    """Round-5 advisor finding: a hard crash during the FIRST-ever bucket
+    write can leave buckets/batch_id=0 holding only _temporary — the dir
+    exists but has no committed data file, so a naive spark.read.parquet
+    raises on every redelivery (permanent fail/retry loop). Underscore-
+    only content means 'no history yet' → None; a dir with real data
+    still reads."""
+    from assignment_2_dataengineering_spark.streaming.publish import (
+        read_table_or_none,
+    )
+
+    d = tmp_path / "buckets"
+    (d / "batch_id=0" / "_temporary" / "0" / "task").mkdir(parents=True)
+    (d / "batch_id=0" / "_temporary" / "0" / "task" / "part-0.parquet").write_bytes(
+        b"torn"
+    )
+    assert read_table_or_none(spark, str(d)) is None
+
+    # and after a real commit, the same path reads normally
+    spark.range(3).write.mode("overwrite").parquet(str(d / "batch_id=1"))
+    got = read_table_or_none(spark, str(d))
+    assert got is not None and got.count() == 3
+
+
+def test_read_table_or_none_remote_scheme_raises(spark):
+    """Round-5 advisor finding: os.path.isdir is local-FS-only — a remote
+    index_dir would always probe as None, silently reinstating the
+    verify-against-empty-index data loss. Non-local schemes must fail
+    loudly (mirroring compact_parquet's guard)."""
+    import pytest
+
+    from assignment_2_dataengineering_spark.streaming.publish import (
+        read_table_or_none,
+    )
+
+    with pytest.raises(ValueError, match="local-FS only"):
+        read_table_or_none(spark, "hdfs://nn:8020/indexes/minhash")

@@ -1,0 +1,64 @@
+"""Regression guard for the driver's 50-query correctness window.
+
+The driver gate (CORRECTNESS_rN.json) checks the FIRST 50 entries of
+__spark_entry__.queries(). Round-5 judge item #8: pin that window to a
+checked-in list so a future import reorder or new @register can never
+silently swap which queries the scoreboard grades.
+"""
+
+from assignment_2_dataengineering_spark.plans.registry import (
+    DRIVER_WINDOW,
+    all_specs,
+)
+
+# The deliberate window (round-5 judge item #2): reference-surface core,
+# the dedup family with its verify companions, and the ANN family with
+# q_ann_lsh_rerank inside the window next to q_ann_lsh. Changing this
+# list is allowed — but must be THIS explicit.
+EXPECTED_WINDOW = (
+    "q_groupby_sum", "q_scalar_agg", "q_window_agg", "q_mode",
+    "q_percentile", "q_collect_set", "q_count", "q_project", "q_isin",
+    "q_null_filter", "q_scan_nested", "q_time_horizon", "q_route",
+    "q_filter_exists", "q_array_overlap", "q_join_broadcast",
+    "q_enrich_join", "q_left_join", "q_semi_anti", "q_zip_join",
+    "q_join_dedup_labels", "q_latest_per_key", "q_topk_retention",
+    "q_sort", "q_pivot", "q_unpivot", "q_scalar_fns", "q_date_fns",
+    "q_text_quality", "q_token_count", "q_fingerprint", "q_lang_id",
+    "q_quality_flags", "q_sample_stratified", "q_token_histogram",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_dedup_containment", "q_bpe_merges",
+    "q_bpe_encode", "q_phrase_search", "q_source_overlap",
+    "q_dedup_summary", "q_dedup_simhash_verify", "q_dedup_minhash_verify",
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_lsh_rerank",
+)
+
+
+def test_window_is_the_checked_in_list():
+    assert DRIVER_WINDOW == EXPECTED_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+
+
+def test_registry_order_starts_with_the_window():
+    names = list(all_specs())
+    assert tuple(names[:50]) == EXPECTED_WINDOW
+    # nothing lost: the rest of the registry is still present exactly once
+    assert len(names) == len(set(names))
+
+
+def test_window_no_oracle_rows_are_exactly_the_three_randomized_ops():
+    specs = all_specs()
+    no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
+    assert no_oracle == ["q_dedup_minhash_lsh", "q_dedup_simhash", "q_ann_lsh"]
+
+
+def test_each_randomized_op_has_its_verify_companion_in_window():
+    companions = {
+        "q_dedup_minhash_lsh": "q_dedup_minhash_verify",
+        "q_dedup_simhash": "q_dedup_simhash_verify",
+        "q_ann_lsh": "q_ann_lsh_rerank",
+    }
+    specs = all_specs()
+    for op, comp in companions.items():
+        assert comp in DRIVER_WINDOW, f"{op} verify companion outside window"
+        assert specs[comp].oracle is not None
