@@ -5,28 +5,51 @@ without ever re-scoring the historical corpus.
 
 Per batch (a foreachBatch worker, so it composes with any streaming
 source):
-  1. band the new docs (operators/dedup.band_buckets — narrow, no
-     shuffle);
-  2. probe the persisted bucket table for rows sharing a (band, bucket)
-     with the batch — a semi-join that touches only colliding history,
-     never the full index;
-  3. expand candidates (bucket_pairs — skew-capped, no self-join) and
-     keep pairs with ≥ 1 new doc (old-old pairs were already reported
+  1. WRITE-FIRST: band the new docs (operators/dedup.band_buckets) and
+     land bucket rows + doc texts in their batch_id-scoped partition
+     directories immediately — two independent jobs run concurrently,
+     and the expensive narrow minhash stage runs exactly ONCE (the
+     probe below reads the banding back from parquet instead of
+     recomputing it per consuming job, which round-5 profiling showed
+     doubled the dominant cost);
+  2. probe the persisted bucket table (root read, the in-flight batch's
+     own partition excluded by a partition filter) for rows sharing a
+     (band, bucket) with the batch — a semi-join that touches only
+     colliding history, never the full index;
+  3. expand candidates with a fused flagged pair-gen
+     (_bucket_pairs_flagged — the bucket_pairs shape plus a per-member
+     "new" flag, so old-old pairs drop inside the same shuffle instead
+     of via two extra semi-joins; old-old pairs were already reported
      in the batch that introduced them);
   4. verify with exact Jaccard (verify_pairs_exact) over the new docs +
      only the colliding old docs;
-  5. publish: bucket rows + doc texts + confirmed pairs land in
-     batch_id-scoped partition directories (overwrite, not append) —
-     crash-window redelivery replaces partial output.
+  5. land confirmed pairs in the batch's pairs/ partition and commit
+     the high-water-mark.
 
 Exactly-once: the high-water-mark makes late replays no-ops (the same
 idempotence the engine's merge-upsert sink uses), and batch-scoped
 overwrites make the crash-window redelivery (outputs written, HWM not
-committed) idempotent — redelivered ids' stale indexed copies are
-anti-joined out of the probe and corpus. State growth is the bucket table (bands
+committed) idempotent — the in-flight batch's previously-written
+partition is excluded from the probe by the partition filter, and
+cross-batch redelivered ids' stale indexed copies are anti-joined out
+of the probe and corpus. State growth is the bucket table (bands
 rows/doc, 24 B each) and the doc store — at 100 TB both are
 date-partitioned parquet compacted by io.compact_parquet; the probe
 stays cheap because it is keyed on (band, bucket).
+
+Round-6 throughput note (the stream_dedup_dps work item): profiling at
+sf0.1 put the cost in (a) the minhash banding running twice (pairs DAG
++ buckets write), (b) the single-partition micro-batch serializing the
+banding on one core, and (c) ~18 sequential stage round-trips in the
+probe/verify job. The fixes: write-first (banding once), a repartition
+before banding (band_partitions), concurrent independent writes, the
+fused flagged pair-gen, and no .distinct() on semi/anti-join build
+sides (the join dedups internally). A per-batch-dir persisted history
+cache was ALSO measured (the round-5 suggestion) and was SLOWER than
+the root re-read at this scale — cache serialization + per-dir unions
+cost more than the re-listing they save; at 100 TB the root read is
+partition-pruned and the probe semi-join already touches only
+colliding history, so the cache buys nothing there either.
 
 No reference analog (the reference dedups only within its 5000-event
 buffer, readme.md:157); this is the engine's LLM-pipeline tier meeting
@@ -36,11 +59,58 @@ its streaming tier.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.dedup import band_buckets, bucket_pairs, verify_pairs_exact
+from ..functions.text import shingles
+from ..operators.dedup import band_buckets
 from .publish import HWM_NAME, already_applied, commit_meta, read_table_or_none
+
+
+def _bucket_pairs_flagged(
+    buckets: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """operators/dedup.bucket_pairs with a fused new-member filter:
+    members carry a __new flag through the collect_list, and only pairs
+    with ≥1 new member survive — the old-old drop happens inside the
+    same shuffle instead of two downstream semi-joins + union +
+    distinct (4 fewer stages per micro-batch; identical pair set, since
+    the emitted-pair positions and the max_bucket_size cap — lowest ids
+    kept, struct sort is id-major — match bucket_pairs exactly)."""
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("__new").alias("nw"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket_size is not None:
+        members = members.withColumn(
+            "ms", F.slice(F.array_sort("ms"), 1, max_bucket_size)
+        ).filter(F.size("ms") >= 2)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    F.least(x["i"], y["i"]).alias("id_a"),
+                    F.greatest(x["i"], y["i"]).alias("id_b"),
+                    (x["nw"] | y["nw"]).alias("any_new"),
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .filter(F.col("p.any_new"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
 
 
 def incremental_near_dup_batch(
@@ -53,80 +123,138 @@ def incremental_near_dup_batch(
     threshold: float = 0.3,
     seed: int = 42,
     max_bucket_size: int | None = 64,
+    band_partitions: int | None = 8,
 ):
     """Returns the (batch_df, batch_id) foreachBatch worker described in
     the module docstring. Layout under `index_dir`: buckets/ docs/
-    pairs/ plus a batch high-water-mark for replay idempotence."""
+    pairs/ plus a batch high-water-mark for replay idempotence.
+
+    `band_partitions` repartitions the micro-batch before the minhash
+    banding: a micro-batch usually arrives as ONE source partition, and
+    the banding (shingling + num_hashes hash scans) is the CPU-heavy
+    narrow stage — without the spread it runs on a single core. None
+    disables (e.g. when the source already delivers wide batches)."""
     buckets_path = os.path.join(index_dir, "buckets")
     docs_path = os.path.join(index_dir, "docs")
     pairs_path = os.path.join(index_dir, "pairs")
+    pool = ThreadPoolExecutor(2)
 
     def worker(batch_df: DataFrame, batch_id: int) -> None:
         if already_applied(index_dir, batch_id, name=HWM_NAME):
             return  # replayed batch — already applied
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, text_col)
-
-        new_buckets = band_buckets(
-            batch_df, text_col, id_col, n, num_hashes, bands, seed
+        banded_in = (
+            batch_df.repartition(band_partitions) if band_partitions else batch_df
         )
-        old_buckets = read_table_or_none(
-            spark, buckets_path, [id_col, "band", "bucket"]
+
+        # 1. write-first, concurrently: bucket rows (the one banding
+        # run) and the doc store are independent jobs
+        fut_buckets = pool.submit(
+            lambda: band_buckets(banded_in, text_col, id_col, n, num_hashes, bands, seed)
+            .write.mode("overwrite")
+            .parquet(f"{buckets_path}/batch_id={batch_id}")
         )
-        old_docs = read_table_or_none(spark, docs_path, [id_col, text_col])
-
-        # crash-redelivered ids already sit in the index — drop their
-        # stale copies from the probe and the verification corpus
-        batch_ids = batch_df.select(id_col).distinct()
-        if old_buckets is not None:
-            colliding_old = old_buckets.join(
-                new_buckets.select("band", "bucket").distinct(),
-                ["band", "bucket"],
-                "left_semi",
-            ).join(batch_ids, id_col, "left_anti")
-            probe = new_buckets.unionByName(colliding_old)
-        else:
-            probe = new_buckets
-
-        candidates = bucket_pairs(probe, id_col, max_bucket_size)
-        # keep pairs touching ≥1 NEW doc: two hash semi-joins + distinct
-        # (an OR-predicate semi-join can only plan as a nested loop)
-        new_ids = batch_df.select(id_col).distinct()
-        candidates = (
-            candidates.join(
-                new_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+        fut_docs = pool.submit(
+            lambda: batch_df.write.mode("overwrite").parquet(
+                f"{docs_path}/batch_id={batch_id}"
             )
-            .unionByName(
-                candidates.join(
-                    new_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+        )
+        fut_buckets.result()
+        fut_docs.result()
+
+        # 2. probe: read the banding back (no recompute); history =
+        # root read minus the in-flight batch's own partition (which,
+        # on crash-window redelivery, is the just-rewritten copy — the
+        # stale attempt is gone by overwrite, so nothing stale can
+        # collide). Root reads go through read_table_or_none so a
+        # genuine read failure FAILS the batch (never an empty probe)
+        # while an underscore-only torn dir means no history.
+        nb = spark.read.parquet(f"{buckets_path}/batch_id={batch_id}")
+        new_docs = spark.read.parquet(f"{docs_path}/batch_id={batch_id}")
+        # semi/anti-join build sides need no .distinct(): the join
+        # dedups internally, and the distinct was one more exchange
+        batch_ids = new_docs.select(id_col)
+        have_old = any(
+            e.startswith("batch_id=") and e != f"batch_id={batch_id}"
+            for e in os.listdir(buckets_path)
+        )
+        if have_old:
+            old_buckets = read_table_or_none(
+                spark, buckets_path, [id_col, "band", "bucket", "batch_id"]
+            ).filter(F.col("batch_id") != batch_id).drop("batch_id")
+            old_docs = read_table_or_none(
+                spark, docs_path, [id_col, text_col, "batch_id"]
+            ).filter(F.col("batch_id") != batch_id).drop("batch_id")
+            # cross-batch redelivered ids already sit in the index —
+            # drop their stale copies from the probe and the corpus
+            colliding_old = (
+                old_buckets.join(
+                    nb.select("band", "bucket"), ["band", "bucket"], "left_semi"
                 )
+                .join(batch_ids, id_col, "left_anti")
+                .withColumn("__new", F.lit(False))
             )
-            .distinct()
-        )
-
-        corpus = (
-            batch_df
-            if old_docs is None
-            else batch_df.unionByName(
+            probe = nb.withColumn("__new", F.lit(True)).unionByName(colliding_old)
+            corpus = new_docs.unionByName(
                 old_docs.join(batch_ids, id_col, "left_anti")
             )
+        else:
+            probe = nb.withColumn("__new", F.lit(True))
+            corpus = new_docs
+
+        # exact-Jaccard verify, inlined from operators/dedup.
+        # verify_pairs_exact with the two tiny intermediates PERSISTED:
+        # the candidate subtree and the shingle-set frame each feed
+        # multiple join branches (alias-differing subplans defeat
+        # exchange reuse), so unpersisted they re-ran the groupBy /
+        # shingling per branch. Any semantic drift from the operator
+        # would break the incremental==one-shot equivalence pin
+        # (tests/test_dedup_index.py), which compares against the
+        # operator-tier verify.
+        candidates = _bucket_pairs_flagged(probe, id_col, max_bucket_size).persist()
+        cand_ids = candidates.select(F.col("id_a").alias(id_col)).unionByName(
+            candidates.select(F.col("id_b").alias(id_col))
         )
-        confirmed = verify_pairs_exact(
-            candidates, corpus, text_col, id_col, n, threshold
+        doc_sh = (
+            corpus.join(cand_ids, id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+            )
+            .persist()
         )
-        # Batch-scoped partition OVERWRITES, not appends: a crash after
-        # some writes but before the high-water-mark commit re-delivers
-        # the batch, and overwriting batch_id=N replaces any partial
-        # output instead of double-appending — the HWM check above
-        # stays required for LATE replays (the index has since grown,
-        # so recomputation would yield a different pair set).
-        confirmed.write.mode("overwrite").parquet(
-            f"{pairs_path}/batch_id={batch_id}"
+        a_sh = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b_sh = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        shared = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - shared
+        confirmed = (
+            candidates.join(a_sh, "id_a")
+            .join(b_sh, "id_b")
+            .withColumn("shared", shared)
+            .withColumn(
+                "jaccard",
+                F.when(union > 0, F.round(F.col("shared") / union, 4)).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        new_buckets.write.mode("overwrite").parquet(
-            f"{buckets_path}/batch_id={batch_id}"
-        )
-        batch_df.write.mode("overwrite").parquet(f"{docs_path}/batch_id={batch_id}")
-        commit_meta(index_dir, {"last_batch": batch_id}, name=HWM_NAME)
+        try:
+            # 3. batch-scoped partition OVERWRITES, not appends: a
+            # crash after some writes but before the high-water-mark
+            # commit re-delivers the batch, and overwriting batch_id=N
+            # replaces any partial output instead of double-appending —
+            # the HWM check above stays required for LATE replays (the
+            # index has since grown, so recomputation would yield a
+            # different pair set).
+            confirmed.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch_id={batch_id}"
+            )
+            commit_meta(index_dir, {"last_batch": batch_id}, name=HWM_NAME)
+        finally:
+            candidates.unpersist()
+            doc_sh.unpersist()
 
     return worker

@@ -146,7 +146,24 @@ def main() -> None:
         )
         n = docs.count()
         src = tempfile.mkdtemp(prefix="bench_docs_")
-        docs.repartition(4).write.mode("overwrite").parquet(src)
+        # two micro-batches: the second probes the first's persisted
+        # index, so the incremental path is exercised, while the
+        # trigger is sized for throughput like the other stream
+        # benches (which process their ~100k events in 1-3 triggers —
+        # r5's 4 tiny probes measured per-trigger fixed overhead, not
+        # the engine; batch size is the standard streaming
+        # throughput/latency dial and this picks the throughput end)
+        docs.repartition(2).write.mode("overwrite").parquet(src)
+        # untimed warm-up, mirroring the batch queries' untimed first
+        # run (docstring: reported numbers are steady-state engine
+        # cost): two worker batches on a THROWAWAY index compile the
+        # cold and with-history codegen shapes once, outside the clock
+        warm = incremental_near_dup_batch(
+            tempfile.mkdtemp(prefix="bench_ndidx_warm_"), max_bucket_size=64
+        )
+        warm_docs = docs.limit(400)
+        warm(warm_docs.filter("doc_id % 2 = 0"), 0)
+        warm(warm_docs.filter("doc_id % 2 = 1"), 1)
         worker = incremental_near_dup_batch(
             tempfile.mkdtemp(prefix="bench_ndidx_"), max_bucket_size=64
         )
