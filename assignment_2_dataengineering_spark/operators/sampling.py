@@ -20,14 +20,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# glibc LCG constants; doc_id * A + C stays far under int64 overflow for
-# any realistic id space (id < 8.4e9).
+# glibc LCG constants.
 _A, _C, _M = 1103515245, 12345, 2_147_483_648
+
+
+def _lcg(id_col: Column) -> Column:
+    """(id * A + C) mod M, overflow-safe for EVERY int64 id: the id is
+    reduced mod M BEFORE the multiply, so the product is bounded by
+    (M-1)*A ≈ 2.4e18 < 2^63. Congruence makes this value-identical to
+    the naive form — (id mod M)*A ≡ id*A (mod M) — so every existing
+    DuckDB oracle (which computes the naive form in HUGEINT) still
+    matches. The naive Spark form raised ARITHMETIC_OVERFLOW under ANSI
+    mode for ids ≥ ~8.4e9 — found by the round-6 sf1 scaling run, whose
+    key-shifted replication produces exactly the >1e10 id space a
+    100 TB corpus would have (SCALE.md §6g)."""
+    return ((id_col.cast("long") % _M) * _A + _C) % _M
 
 
 def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from a numeric id."""
-    return ((id_col.cast("long") * _A + _C) % _M) % buckets
+    return _lcg(id_col) % buckets
 
 
 def split_label(id_col: Column, train_pct: int = 98, val_pct: int = 1) -> Column:
@@ -64,7 +76,7 @@ def global_shuffle_rank(df: DataFrame, id_col: str = "doc_id", buckets: int = 10
     from pyspark.sql import Window
 
     chunk = _M // buckets
-    h = (F.col(id_col).cast("long") * _A + _C) % _M
+    h = _lcg(F.col(id_col))
     df2 = df.withColumn("_h", h).withColumn(
         "_b", F.floor(F.col("_h") / F.lit(chunk)).cast("long")
     )
@@ -115,9 +127,7 @@ def weighted_sample(
     (per-partition top-k then a k-row driver merge), never a global
     sort. Reruns, repartitions, and other engines pick the SAME rows —
     the property corpus-mixture reproducibility depends on."""
-    u = (
-        (F.col(id_col).cast("long") * _A + _C) % _M + F.lit(0.5)
-    ) / F.lit(float(_M))
+    u = (_lcg(F.col(id_col)) + F.lit(0.5)) / F.lit(float(_M))
     key = F.round(-F.log(u) / F.col(weight_col), 9)
     return df.withColumn("sample_key", key).orderBy("sample_key", id_col).limit(k)
 
@@ -135,7 +145,7 @@ def cap_per_group(
     would materialize the whole domain."""
     from pyspark.sql import Window
 
-    h = (F.col(id_col).cast("long") * _A + _C) % _M
+    h = _lcg(F.col(id_col))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("cap_rank", F.row_number().over(w))
@@ -272,4 +282,77 @@ def two_phase_prefix_sum(
             F.coalesce(F.sum(value_col).over(w_in), F.lit(0)) + F.col("_off"),
         )
         .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    ctx: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: documents are laid end-to-end in a deterministic total
+    order (ascending `id_col`) and the token stream is cut into
+    fixed-`ctx` sequences; documents straddle cuts. Emits one row per
+    (sequence × document-span): `seq_id`, the document, `span_start`
+    (token offset within the document) and `span_len` — exactly what a
+    data loader needs to assemble sequence `seq_id` by slicing its
+    member documents.
+
+    Scale shape: the only global state is the exclusive prefix sum of
+    token counts, computed by two_phase_prefix_sum (range shuffle +
+    broadcast offsets — never a single-partition window); the
+    span/sequence expansion is a narrow per-row sequence() explode
+    bounded by ceil(n_tokens/ctx)+1 rows per document. Total output
+    rows = |docs| + |cut-straddles| ≤ |docs| + total_tokens/ctx."""
+    with_start = two_phase_prefix_sum(
+        df.select(id_col, tokens_col), [(id_col, True)], tokens_col, "tok_start"
+    )
+    seq_first = F.expr(f"tok_start DIV {ctx}")
+    seq_last = F.expr(f"(tok_start + {tokens_col} - 1) DIV {ctx}")
+    e = with_start.select(
+        id_col,
+        tokens_col,
+        "tok_start",
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * ctx
+    seq_hi = seq_lo + ctx
+    doc_lo = F.col("tok_start")
+    doc_hi = doc_lo + F.col(tokens_col)
+    return e.select(
+        "seq_id",
+        F.col(id_col),
+        F.greatest(F.lit(0), seq_lo - doc_lo).alias("span_start"),
+        (F.least(doc_hi, seq_hi) - F.greatest(doc_lo, seq_lo)).alias("span_len"),
+    )
+
+
+def mix_epochs(
+    df: DataFrame,
+    full_epochs: Column,
+    frac_pct: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus mixing with epoch upsampling — the
+    composition step of a training-data pipeline: each row is emitted
+    `full_epochs` times (epoch = 0..full_epochs-1) plus one more epoch
+    for the `frac_pct`% of rows whose id hash falls under the
+    fractional remainder (weight 2.25 → full_epochs=2, frac_pct=25).
+    The partial epoch is a CONSISTENT deterministic subset (same id
+    hash as all engine sampling), so reruns and engines agree row for
+    row; weight 0 drops the source entirely. Narrow plan: per-row
+    bounded array explode, no shuffle, no state."""
+    epochs = F.when(
+        F.col("__full") > 0, F.sequence(F.lit(0), F.col("__full") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    partial = F.when(
+        hash_bucket(F.col(id_col)) < F.col("__frac"), F.array(F.col("__full"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("__full", full_epochs.cast("int"))
+        .withColumn("__frac", frac_pct.cast("int"))
+        .withColumn("epoch", F.explode(F.concat(epochs, partial)))
+        .drop("__full", "__frac")
     )

@@ -1468,3 +1468,115 @@ def q_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+_GPACK_CTX = 512
+
+
+@register(
+    "q_pack_global",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, n_tokens, tok_start,
+               unnest(range(tok_start // {_GPACK_CTX},
+                            (tok_start + n_tokens - 1) // {_GPACK_CTX} + 1))
+                   AS seq_id
+        FROM p
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(0, seq_id * {_GPACK_CTX} - tok_start) AS BIGINT)
+               AS span_start,
+           CAST(least(tok_start + n_tokens, (seq_id + 1) * {_GPACK_CTX})
+                - greatest(tok_start, seq_id * {_GPACK_CTX}) AS BIGINT)
+               AS span_len
+    FROM e
+    """,
+    tags=("corpus", "packing"),
+)
+def q_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL concat-and-chunk sequence packing
+    (operators/sampling.py:pack_sequences): documents laid end-to-end
+    in doc_id order, the token stream cut into fixed 512-token
+    sequences, documents straddling cuts — the GPT-style pretraining
+    layout, emitting the (sequence × document-span) slices a loader
+    assembles batches from. Distinct from q_sequence_pack (per-source
+    greedy chunk ids, no straddles) and q_chunk (per-doc overlapping
+    windows): this one has GLOBAL state — the exclusive prefix sum of
+    token counts — computed by two_phase_prefix_sum (range shuffle +
+    broadcast offsets, never a single-partition window), while the
+    oracle is the naive global window, proving the two-phase plan
+    computes the identical packing."""
+    from ..operators.sampling import pack_sequences
+
+    d = T(spark, sf_dir, "documents")
+    sized = d.select("doc_id", TX.token_count_ws(F.col("text")).alias("n_tokens"))
+    return pack_sequences(sized, "n_tokens", _GPACK_CTX).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+@register(
+    "q_mix_epochs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 AS grp,
+               ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket
+        FROM documents
+    ),
+    cfg AS (
+        SELECT doc_id, source,
+               CASE grp WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS full_e,
+               CASE grp WHEN 0 THEN 25 WHEN 2 THEN 50 ELSE 0 END AS frac_pct,
+               bucket
+        FROM w
+    )
+    SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM (
+        SELECT doc_id, source,
+               unnest(range(0, full_e
+                      + CASE WHEN bucket < frac_pct THEN 1 ELSE 0 END)) AS epoch
+        FROM cfg
+    )
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing with epoch upsampling
+    (operators/sampling.py:mix_epochs) — the composition step of a
+    training run: per-source weights become full epochs plus a
+    hash-selected partial epoch (weight 2.25 → every doc twice + a
+    consistent 25% subset a third time; 0.5 → a 50% subset once; 0 →
+    source dropped). Weights here derive from the source's numeric
+    suffix mod 4 (2.25 / 1.0 / 0.5 / 0) so both engines compute the
+    config from the data. Narrow plan: bounded per-row array explode,
+    no shuffle — at 100 TB this is a scan that emits the training
+    manifest, with the id-hash partial epochs keeping reruns
+    byte-identical."""
+    from ..operators.sampling import mix_epochs
+
+    d = T(spark, sf_dir, "documents")
+    grp = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 4
+    full_e = (
+        F.when(grp == 0, F.lit(2)).when(grp == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    frac = (
+        F.when(grp == 0, F.lit(25)).when(grp == 2, F.lit(50)).otherwise(F.lit(0))
+    )
+    return mix_epochs(
+        d.select("doc_id", "source"), full_e, frac
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))

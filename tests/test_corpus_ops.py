@@ -138,3 +138,98 @@ def test_pii_scrub_preserves_space_separated_number_runs(spark):
     assert got[1] == "revenues were 1999 2000 2001 2002 in order"
     assert "[PHONE]" in got[2]
     assert "[PHONE]" in got[3]
+
+
+def test_lcg_overflow_safe_for_huge_ids_and_congruent(spark):
+    """Round-6 sf1 scaling run finding: the naive (id*A+C)%M raised
+    ARITHMETIC_OVERFLOW under ANSI mode for ids >= ~8.4e9 — exactly the
+    id space a 100 TB corpus has. The modular form must (a) accept any
+    int64 id and (b) stay value-identical to the naive form where the
+    naive form is defined (congruence mod M)."""
+    from assignment_2_dataengineering_spark.operators.sampling import (
+        _A, _C, _M, hash_bucket,
+    )
+
+    big = [0, 1, 7, 8_399_999_999, 10**10, 5 * 10**10 + 123, 2**62]
+    df = spark.createDataFrame([(i,) for i in big], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    for i in big:
+        assert got[i] == ((i * _A + _C) % _M) % 100, i
+
+
+def test_pack_sequences_partitions_the_token_stream_exactly(spark):
+    """Every token of every document lands in exactly one (seq, span):
+    per-doc span lengths sum to n_tokens; per-sequence lengths sum to
+    ctx for all sequences but the last; spans are contiguous."""
+    from assignment_2_dataengineering_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 1 + (i * 37) % 160) for i in range(200)]  # varied sizes
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ctx = 64
+    packed = pack_sequences(df, "n_tokens", ctx).collect()
+    total = sum(n for _, n in rows)
+    assert sum(r["span_len"] for r in packed) == total
+    by_doc = {}
+    by_seq = {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["span_len"]
+    n_map = dict(rows)
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["seq_id"])
+        assert sum(r["span_len"] for r in spans) == n_map[doc]
+        # contiguous within the doc, starting at 0
+        pos = 0
+        for r in spans:
+            assert r["span_start"] == pos
+            pos += r["span_len"]
+        # consecutive seq ids (a doc straddles adjacent cuts only)
+        sids = [r["seq_id"] for r in spans]
+        assert sids == list(range(sids[0], sids[0] + len(sids)))
+    last_seq = max(by_seq)
+    for sid, n in by_seq.items():
+        assert n == ctx or sid == last_seq
+    assert by_seq[last_seq] <= ctx
+    assert set(by_seq) == set(range(last_seq + 1))
+
+
+def test_mix_epochs_counts_match_weights(spark):
+    """full_epochs copies per row plus a deterministic hash-gated
+    partial epoch; weight 0 drops the row; reruns identical."""
+    from assignment_2_dataengineering_spark.operators.sampling import (
+        hash_bucket,
+        mix_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "doc_id long, src string",
+    )
+    full_e = F.when(F.col("src") == "a", F.lit(2)).otherwise(F.lit(0))
+    frac = F.when(F.col("src") == "a", F.lit(25)).otherwise(F.lit(0))
+    out = mix_epochs(df, full_e, frac)
+    rows = out.collect()
+    # src b (weight 0) fully dropped
+    assert all(r["src"] == "a" for r in rows)
+    a_ids = [i for i in range(1000) if i % 2 == 0]
+    partial = {
+        r["doc_id"]
+        for r in df.filter("src = 'a'")
+        .filter(hash_bucket(F.col("doc_id")) < 25)
+        .collect()
+    }
+    assert len(rows) == 2 * len(a_ids) + len(partial)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["epoch"])
+    for i in a_ids:
+        want = {0, 1, 2} if i in partial else {0, 1}
+        assert per_doc[i] == want
+    # deterministic rerun
+    assert sorted((r["doc_id"], r["epoch"]) for r in out.collect()) == sorted(
+        (r["doc_id"], r["epoch"]) for r in rows
+    )
