@@ -135,7 +135,16 @@ def pii_scrub(text: Column) -> Column:
     its spans before the next, coarser pattern sees them. Pure
     regexp_replace chain: whole-stage codegen, scan speed, no shuffle —
     the right shape for a scrub that runs over every byte of a 100 TB
-    corpus."""
+    corpus.
+
+    PLACEMENT RULE (measured at sf10, SCALE.md §6h): do NOT evaluate
+    this scrub in the same stage as normalize_text/fingerprint. The
+    email class and the normalize class are structurally different
+    large character classes, and running both hot in one task degrades
+    java.util.regex ~15-30x (JIT inline-cache pollution at the
+    per-char predicate sites; same-shape pairs are unaffected). Put an
+    exchange between them — see q_corpus_pipeline, which fingerprints
+    before its dedup shuffle and scrubs after."""
     t = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
     t = F.regexp_replace(t, IPV4_PATTERN, "[IP]")
     return F.regexp_replace(t, PHONE_PATTERN, "[PHONE]")

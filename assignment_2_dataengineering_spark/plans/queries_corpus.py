@@ -593,10 +593,11 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled training-data pipeline as ONE Catalyst plan:
-    length gate → PII scrub → canonical-fingerprint exact dedup (keep
-    lowest doc_id per fingerprint) → deterministic 98% train split →
-    32/24 context-window chunking. Everything before the dedup window
-    is per-row codegen; the dedup is the pipeline's single shuffle
+    length gate → canonical-fingerprint exact dedup (keep lowest doc_id
+    per raw-text fingerprint) → PII scrub of the survivors →
+    deterministic 98% train split → 32/24 context-window chunking.
+    Everything around the dedup window is per-row codegen; the dedup is
+    the pipeline's single shuffle
     (hash-partition by 16-byte fingerprint); split + chunk are again
     shuffle-free, so the whole corpus-to-training-sequences path costs
     ONE exchange at 100 TB. The oracle replays the identical five
@@ -605,18 +606,28 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     d = T(spark, sf_dir, "documents").filter(F.col("n_chars").between(100, 5000))
-    scrubbed = d.select(
-        "doc_id",
-        TX.pii_scrub(F.col("text")).alias("text"),
-        TX.fingerprint(F.col("text")).alias("fp"),
-    )
+    # The fingerprint is computed BEFORE the dedup exchange and the PII
+    # scrub AFTER it — deliberately, for two scale reasons. (1) The
+    # scrub then runs only on dedup SURVIVORS (identical output: fp is
+    # of the RAW text in both engines, and scrubbing a row commutes
+    # with dropping its duplicates). (2) JVM regex pathology, measured
+    # at sf10: fingerprint's [^a-z0-9]+ and the scrub's email class
+    # [A-Za-z0-9._%+-]+ are two structurally different large character
+    # classes — hot in the SAME task they degrade java.util.regex
+    # ~15-30x (email+norm in one projection: 28.9 s; each alone ≤2 s;
+    # same-shape pairs like email+email stay fast — JIT inline caches
+    # at the per-char predicate call sites go megamorphic; possessive
+    # quantifiers and codegen on/off don't change it). Splitting them
+    # across the window's exchange keeps each task's JIT profile
+    # single-shaped: 30.4 s → ~3 s for the whole pipeline at sf10.
+    fped = d.select("doc_id", "text", TX.fingerprint(F.col("text")).alias("fp"))
     from pyspark.sql import Window
 
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
-        scrubbed.withColumn("rn", F.row_number().over(w_fp))
+        fped.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
-        .drop("rn", "fp")
+        .select("doc_id", TX.pii_scrub(F.col("text")).alias("text"))
     )
     train = deduped.filter(hash_bucket(F.col("doc_id")) < 98)
     toks = train.select(
