@@ -118,3 +118,45 @@ def test_deterministic_across_runs(spark, with_dupes):
     a = semantic_dedup(df, k=8, iters=3, threshold=THR, dim=DIM).toPandas().sort_values("id").reset_index(drop=True)
     b = semantic_dedup(df, k=8, iters=3, threshold=THR, dim=DIM).toPandas().sort_values("id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_multiblock_cell_equals_bruteforce_greedy(spark):
+    """A single cell LARGER than the kernel's 512-row gemm block:
+    pins that the blocked greedy (pre-block gemm + intra-block scan)
+    is value-identical to the row-at-a-time reference, including
+    which keeper each duplicate points at across block boundaries.
+    Clustered geometry (60 base directions + jitter) guarantees many
+    near-dup pairs straddle blocks."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(60, DIM))
+    rows = []
+    for i in range(1200):
+        v = base[i % 60] + rng.normal(0, 1e-3, size=DIM)
+        rows.append((i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    res = (
+        semantic_dedup(df, k=1, iters=1, threshold=THR, dim=DIM)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    kept: list[int] = []
+    expect_keep, expect_dup = [], []
+    for i in range(len(rows)):
+        sims = V[kept] @ V[i] if kept else np.array([])
+        hit = np.nonzero(sims >= THR)[0]
+        if len(hit):
+            expect_keep.append(False)
+            expect_dup.append(kept[int(hit[0])])
+        else:
+            kept.append(i)
+            expect_keep.append(True)
+            expect_dup.append(None)
+    assert list(res["keep"]) == expect_keep
+    got_dup = [
+        None if v is None or (isinstance(v, float) and np.isnan(v)) else int(v)
+        for v in res["duplicate_of"]
+    ]
+    assert got_dup == expect_dup
