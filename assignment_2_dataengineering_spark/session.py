@@ -35,6 +35,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # The one knob that must track data scale (SCALE.md §7): the
+    # initial shuffle-partition count bounds per-task sort/hash size.
+    # 32 is right for the sf0.001-0.1 test tier; the sf100 scaling run
+    # measured 8-59x blowups (spill) on every big-shuffle join/window
+    # once partitions hit ~19M rows. Production sets this high and
+    # lets AQE coalesce shrink it per stage — over-provisioning is
+    # cheap, under-provisioning is a spill.
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_partitions is None and env_sp:
+        shuffle_partitions = int(env_sp)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
