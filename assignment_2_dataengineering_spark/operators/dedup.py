@@ -643,9 +643,18 @@ def span_dedup(
         F.col(id_col),
         tokens_ws(F.col(text_col)).alias("__w"),
     )
+    # The shingle text never leaves the Generate stage: every shuffle
+    # downstream (the first-occurrence window, the hot-shingle routing
+    # joins) keys on its 128-bit md5 instead — 16 bytes vs the ~10-token
+    # string. Same collision-free-by-design policy as exact dedup's
+    # document fingerprint (functions/text.fingerprint); at sf100 the
+    # raw-string window shuffle was ~5x the key bytes and the one
+    # partition-count-insensitive cost in the whole subset.
     sh = toks.select(
         id_col,
-        F.posexplode(shingles_from_tokens(F.col("__w"), n)).alias("pos", "sh"),
+        F.posexplode(shingles_from_tokens(F.col("__w"), n)).alias("pos", "__sh_txt"),
+    ).select(
+        id_col, "pos", F.unhex(F.md5(F.col("__sh_txt"))).alias("sh")
     )
     w_first = Window.partitionBy("sh")
 
@@ -689,31 +698,38 @@ def span_dedup(
         )
         cold = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
         dup_occ = _window_dups(cold).unionByName(dup_hot)
-    covered = dup_occ.select(
-        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos")
-    ).distinct()
-    positions = toks.select(
-        id_col, F.posexplode(F.col("__w")).alias("pos", "tok")
+    # Cover removal stays per-doc and JVM-side: the duplicate span
+    # STARTS aggregate to one small array per affected doc (the only
+    # shuffle of dup volume), join ONCE onto the doc rows, expand the
+    # cover and drop covered tokens with an indexed array filter. The
+    # previous shape — explode covered positions, distinct, posexplode
+    # every token, anti-join, re-aggregate with a sort — pushed the
+    # full token stream through three shuffles; per-doc token counts
+    # are bounded (document grain), so the quadratic-in-|doc| worst
+    # case of array_contains over the cover is a constant, not a scale
+    # term, and the token stream now crosses ZERO exchanges.
+    spans = dup_occ.groupBy(id_col).agg(F.collect_list("pos").alias("__spans"))
+    joined = toks.join(spans, id_col, "left").withColumn(
+        "__cov",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("__spans"), lambda p: F.sequence(p, p + F.lit(n - 1))
+                )
+            )
+        ),
     )
-    kept = positions.join(covered, [id_col, "pos"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    kept = F.when(F.col("__spans").isNull(), F.col("__w")).otherwise(
+        F.filter(
+            F.col("__w"),
+            lambda _tok, i: ~F.array_contains(F.col("__cov"), i),
+        )
     )
-    # n_tokens == the posexplode row count by construction, but size()
-    # on the already-materialized array is a NARROW projection — the
-    # groupBy-count form re-shuffled the full token stream a second time
-    totals = toks.select(id_col, F.size("__w").alias("n_tokens"))
-    # Left join so a FULLY deduplicated doc still surfaces, as empty text.
-    return totals.join(kept_agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    # concat_ws("") on an emptied array → a FULLY deduplicated doc
+    # still surfaces, as empty text.
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text"),
+        F.size("__w").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).alias("n_removed"),
     )
