@@ -109,11 +109,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.array(TX.tokens_ws(F.col("text")))).alias("__w")
     )
+    # The shingle text never crosses an exchange: the (doc, shingle)
+    # distinct — ~190 rows per doc — and the eval-set broadcast both
+    # key on the shingle's 128-bit md5 (16 bytes vs the ~65-byte
+    # 13-gram string; collision-free-by-design, same policy as exact
+    # dedup's fingerprint and span dedup's window key). Counts are
+    # value-identical, so the string-keyed DuckDB oracle still matches.
     sh = (
         toks.select(
             "doc_id",
-            F.explode(TX.shingles_from_tokens(F.col("__w"), _DECON_N)).alias("shingle"),
+            F.explode(TX.shingles_from_tokens(F.col("__w"), _DECON_N)).alias("__s"),
         )
+        .select("doc_id", F.unhex(F.md5(F.col("__s"))).alias("shingle"))
         .distinct()
     )
     ev = (
