@@ -76,9 +76,18 @@ def test_tpch_q4_lowers_exists_to_semi_join(spark, sf_dir):
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
 
 
-def test_tpch_q18_semi_join_prunes_before_wide_join(spark, sf_dir):
+def test_tpch_q18_single_fact_scan_fold(spark, sf_dir):
+    """Round-6 fold: the HAVING pre-aggregate already carries the
+    per-order quantity sum, so the plan must scan lineitem exactly
+    ONCE — the textbook form's second fact join and re-aggregation
+    (and the LeftSemi this test used to pin) are gone, replaced by an
+    inner join that carries __q through."""
     plan = _physical(spark, "q_tpch_q18", sf_dir)
-    assert "LeftSemi" in plan, plan
+    # formatted mode puts the file location on its own line per scan
+    # node, so count scan locations, not "Scan parquet" lines
+    li_scans = re.findall(r"Location:[^\n]*lineitem", plan)
+    assert len(li_scans) == 1, plan
+    assert "LeftSemi" not in plan, plan
 
 
 def test_tpch_q22_anti_join_and_prefiltered_probe(spark, sf_dir):
