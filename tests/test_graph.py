@@ -235,3 +235,60 @@ def test_triangle_count_hand_graph(spark, sf_dir, duck):
     """).fetchone()
     assert got["n_triangles"] == want[0] == 4
     assert got["n_wedges"] == want[1]
+
+
+def test_two_phase_lead_equals_naive_global_lead(spark):
+    """Pins the round-6 edge-derivation rewrite: the two-phase lead
+    (per-(type, hour) window + next-bucket-first stitch) must be
+    VALUE-IDENTICAL to the naive global lead it replaced, on a corpus
+    engineered to hit every boundary case — successions that cross
+    hour and day boundaries, hours with no events (the stitch must
+    find the next NON-EMPTY bucket), timestamp ties broken by
+    event_id, self-loop successions, and a type whose entire timeline
+    sits inside one bucket."""
+    import datetime as dt
+    import random
+    import tempfile
+
+    from assignment_2_dataengineering_spark.plans.queries_graph import _user_edges
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for etype in ("a", "b", "c"):
+        n = {"a": 160, "b": 120, "c": 15}[etype]
+        for _ in range(n):
+            if etype == "c":
+                # whole timeline inside ONE hour bucket
+                ts = t0 + dt.timedelta(seconds=rng.randrange(3600))
+            else:
+                # sparse over 3 days => many empty hours between events
+                ts = t0 + dt.timedelta(seconds=rng.randrange(3 * 86400))
+            rows.append((eid, ts, rng.randrange(6), etype, 1.0, "{}"))
+            eid += 1
+        # deliberate ts ties: two events at the SAME timestamp, order
+        # must fall back to event_id
+        tie_ts = t0 + dt.timedelta(hours=5)
+        rows.append((eid, tie_ts, 97, etype, 1.0, "{}")); eid += 1
+        rows.append((eid, tie_ts, 98, etype, 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="lead2p_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {(r["src"], r["dst"]) for r in _user_edges(spark, d).collect()}
+
+    want = set()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r[3], []).append(r)
+    for seq in by_type.values():
+        seq.sort(key=lambda r: (r[1], r[0]))
+        for cur, nxt in zip(seq, seq[1:]):
+            if nxt[2] != cur[2]:
+                want.add((cur[2], nxt[2]))
+    assert got == want
