@@ -1031,12 +1031,18 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 important stock: parts whose NATION_0 inventory value
     (derived supplycost × availability) exceeds 0.1% of the nation's
     total. The scalar threshold subquery decorrelates into a one-row
-    broadcast cross join computed from the SAME natps projection —
-    Spark evaluates natps once into both aggregates under AQE reuse.
-    Both comparison sides are rounded to cents first (Q14 discipline)
-    so the HAVING cut is identical in both engines. At 100 TB the
-    per-part aggregate and the grand total are the same single shuffle
-    width: two doubles per part–supplier pair."""
+    broadcast cross join — computed from the PER-PART aggregate, not
+    from natps directly: Σ_parts sum(v) ≡ Σ v, and routing the total
+    through the (tiny) per-part table gives the expensive
+    lineitem-derived partsupp exchange a single consumer chain.
+    (Round 6: the previous both-aggregates-over-natps form relied on
+    AQE exchange reuse that never fired — the two branches prune
+    different columns below the exchange, so the plans differ and the
+    600M-row derivation + scan ran TWICE at sf100.) Both comparison
+    sides are rounded to cents first (Q14 discipline) so the HAVING
+    cut is identical in both engines. At 100 TB the per-part aggregate
+    and the grand total are the same single shuffle width: two doubles
+    per part–supplier pair."""
     ps = derived_partsupp(spark, sf_dir)
     nat_supp = (
         T(spark, sf_dir, "supplier")
@@ -1051,10 +1057,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     natps = ps.join(
         F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey")
     ).select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
-    total = natps.agg(F.round(F.sum("v") * 0.001, 2).alias("__threshold"))
+    vals = natps.groupBy("ps_partkey").agg(F.sum("v").alias("__raw"))
+    total = vals.agg(F.round(F.sum("__raw") * 0.001, 2).alias("__threshold"))
     return (
-        natps.groupBy("ps_partkey")
-        .agg(F.round(F.sum("v"), 2).alias("value"))
+        vals.select("ps_partkey", F.round(F.col("__raw"), 2).alias("value"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("__threshold"))
         .drop("__threshold")
@@ -1190,36 +1196,42 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the derived all-time shipped quantity, and the promotion window
     is calendar 1998 — suppliers of 'small %' parts in NATION_0 whose
     total stock exceeds half of what they moved in 1998. The
-    correlated quantity subquery decorrelates into an equi-join between
-    two aggregates OVER THE SAME (partkey, suppkey) grouping — one
-    partitioning serves both, and the inner IN collapses to a distinct
-    semi-join chain. Quantities are integer-valued doubles: both sums
+    correlated quantity subquery decorrelates into CONDITIONAL
+    aggregation over ONE (partkey, suppkey) grouping — both sums (the
+    all-time availability and the 1998 window) come out of the same
+    pass, so lineitem is scanned and exchanged ONCE where the
+    two-aggregates-joined form scanned it twice (round-6 fold; the
+    small-parts filter also commutes with the partkey grouping, so the
+    broadcast semi-join prunes 11/12 of the fact BEFORE the
+    aggregate). Quantities are integer-valued doubles: both sums
     are exact in FP, so the > comparison needs no rounding guard.
-    Suppliers with no 1998 shipments are excluded by the inner join,
-    matching SQL's NULL-comparison semantics for an empty correlated
-    sum."""
-    ps = derived_partsupp(spark, sf_dir)
-    li98 = T(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
-    shipped = li98.groupBy(
-        F.col("l_partkey"), F.col("l_suppkey")
-    ).agg(F.sum("l_quantity").alias("qty98"))
+    Suppliers with no 1998 shipments are excluded by the null
+    conditional sum, matching SQL's NULL-comparison semantics for an
+    empty correlated sum (and the inner join of the unfused form)."""
     small_parts = (
         T(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small %"))
         .select("p_partkey")
     )
+    li = T(spark, sf_dir, "lineitem").join(
+        F.broadcast(small_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    in98 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+    )
     qualifying = (
-        ps.join(F.broadcast(small_parts), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            shipped,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("ps_availqty"),
+            F.sum(F.when(in98, F.col("l_quantity"))).alias("qty98"),
         )
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty98"))
-        .select("ps_suppkey")
+        .filter(
+            F.col("qty98").isNotNull()
+            & (F.col("ps_availqty") > 0.5 * F.col("qty98"))
+        )
+        .select(F.col("l_suppkey").alias("ps_suppkey"))
     )
     nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
     return (
