@@ -345,13 +345,25 @@ def train_centroids(
                 for b in batches:
                     if b.num_rows == 0:
                         continue
+                    # ListArray.flatten() silently drops values behind
+                    # null list slots, which would mis-shape the batch
+                    # matrix (or, worse, reshape cleanly to a wrong
+                    # dimensionality); the old per-row np.asarray failed
+                    # loudly on a null vector, so keep that contract.
+                    if b.column(0).null_count:
+                        raise ValueError(
+                            "train_centroids: null embedding in training set"
+                        )
                     flat = (
                         b.column(0)
                         .flatten()
                         .to_numpy(zero_copy_only=False)
                         .astype(np.float64)
                     )
-                    V = flat.reshape(b.num_rows, -1)
+                    # reshape against the KNOWN dim: a ragged/short
+                    # vector then always raises instead of silently
+                    # folding into a wrong row count
+                    V = flat.reshape(b.num_rows, dim)
                     d2 = (V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T) + c2[None, :]
                     cid = d2.argmin(1)
                     np.add.at(n, cid, 1)

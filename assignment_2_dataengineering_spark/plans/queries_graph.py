@@ -33,29 +33,48 @@ _EDGES_CTE = """edges AS (
 )"""
 
 
-def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _user_edges(
+    spark: SparkSession, sf_dir: str, bucket: str | None = None
+) -> DataFrame:
     """Follow-on edges via a TWO-PHASE global lead. The naive form —
     lead() over (PARTITION BY event_type ORDER BY ts, event_id) — has
     only |event_type| ≈ 5 window partitions, so at sf100 four tasks
     each sorted ~25 M rows (with spill): 134 of q_pagerank's 159 s were
     THIS derivation, not the supersteps, and every graph query paid it.
-    Phase 1 computes the lead inside (event_type, hour-of-ts) buckets —
-    thousands of small, parallel, skew-free sorts; phase 2 stitches
+    Phase 1 computes the lead inside (event_type, bucket-of-ts) buckets
+    — thousands of small, parallel, skew-free sorts; phase 2 stitches
     bucket boundaries: the per-bucket FIRST rows form a tiny table
-    (|types| × |hours|), and lead() over it (ordered by bucket) gives
+    (|types| × |buckets|), and lead() over it (ordered by bucket) gives
     each bucket's last row its successor — the first row of the next
-    non-empty bucket — via a broadcast join. hour(ts) is a monotone
-    prefix of the (ts, event_id) order and event_id is unique, so the
-    stitched result is VALUE-IDENTICAL to the global lead (the DuckDB
-    oracle still computes the naive form; hash-exact). At 10^12-event
-    scale the bucket simply narrows (minute-of-ts) — the stitch table
-    stays KB-scale."""
+    non-empty bucket — via a broadcast join. date_trunc(bucket, ts) is
+    a monotone prefix of the (ts, event_id) order and event_id is
+    unique, so the stitched result is VALUE-IDENTICAL to the global
+    lead (the DuckDB oracle still computes the naive form; hash-exact).
+
+    `bucket` is the granularity dial for event rate: "hour" (default)
+    keeps ~10^3-10^4 rows/bucket at sf0.1-sf100 event rates; at
+    10^12-event rates pass "minute" so per-bucket sorts stay small
+    while the stitch table stays KB-scale. Also selectable without a
+    code change via SPARK_GRAFT_GRAPH_BUCKET (bench/scale sweeps).
+
+    Boundary rows are flagged EXPLICITLY (lead(1) is null only on the
+    true last row of a bucket) rather than via coalesce(__nxt,
+    __nxt_b_user): coalesce conflated "last row of bucket" with "next
+    row has NULL user_id" — on a corpus with null user_id the naive
+    global lead yields a null dst (edge dropped) where coalesce would
+    substitute the next bucket's first user (spurious edge)."""
+    import os
+
+    if bucket is None:
+        bucket = os.environ.get("SPARK_GRAFT_GRAPH_BUCKET", "hour")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", "user_id"
     )
-    bucketed = ev.withColumn("__b", F.date_trunc("hour", F.col("ts")))
+    bucketed = ev.withColumn("__b", F.date_trunc(bucket, F.col("ts")))
     w_b = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
-    led = bucketed.withColumn("__nxt", F.lead("user_id").over(w_b))
+    led = bucketed.withColumn("__nxt", F.lead("user_id").over(w_b)).withColumn(
+        "__last", F.lead(F.lit(1)).over(w_b).isNull()
+    )
     firsts = bucketed.groupBy("event_type", "__b").agg(
         F.min(F.struct("ts", "event_id", "user_id")).alias("__f")
     )
@@ -69,7 +88,9 @@ def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         led.join(F.broadcast(nxt_first), ["event_type", "__b"], "left")
         .select(
             F.col("user_id").alias("src"),
-            F.coalesce("__nxt", "__nxt_b_user").alias("dst"),
+            F.when(F.col("__last"), F.col("__nxt_b_user"))
+            .otherwise(F.col("__nxt"))
+            .alias("dst"),
         )
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .distinct()

@@ -62,28 +62,31 @@ def _ensure_loaded() -> None:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # That window is a deliberate, checked-in choice (round-5 judge item), not
-# an accident of import order: the reference-surface core (§2.1–§2.11),
-# the dedup family WITH its deterministic verify companions, and the ANN
-# family with q_ann_lsh_rerank (the LSH verify companion — previously
-# stranded at position 60 while q_ann_lsh sat at 49). Exactly three
-# rows are no_oracle by design (randomized banding: minhash-LSH, simhash,
-# ann-lsh) and each has an oracle-paired verify companion IN the window.
-# tests/test_registry_window.py pins this list — reorder deliberately.
+# an accident of import order. Round-7 rotation (round-6 judge item #3):
+# 156 oracle-paired queries had never appeared in a CORRECTNESS_rN file —
+# this round swaps 25 trivially-stable reference-core slots (each of which
+# has been driver-green in CORRECTNESS_r01..r06 and stays covered by the
+# local full-registry parity suite) for the entire TPC-H 22 plus the
+# analytic-window/rollup/cube trio. The dedup/ANN family stays: its three
+# no_oracle randomized ops (minhash-LSH, simhash, ann-lsh) must keep their
+# oracle-paired verify companions IN the window. Next rotation: the
+# temporal + corpus tiers. tests/test_registry_window.py pins this list —
+# reorder deliberately.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "q_groupby_sum", "q_scalar_agg", "q_window_agg", "q_mode",
-    "q_percentile", "q_collect_set", "q_count", "q_project", "q_isin",
-    "q_null_filter", "q_scan_nested", "q_time_horizon", "q_route",
-    "q_filter_exists", "q_array_overlap", "q_join_broadcast",
-    "q_enrich_join", "q_left_join", "q_semi_anti", "q_zip_join",
-    "q_join_dedup_labels", "q_latest_per_key", "q_topk_retention",
-    "q_sort", "q_pivot", "q_unpivot", "q_scalar_fns", "q_date_fns",
-    "q_text_quality", "q_token_count", "q_fingerprint", "q_lang_id",
-    "q_quality_flags", "q_sample_stratified", "q_token_histogram",
+    "q_groupby_sum", "q_window_agg", "q_join_broadcast", "q_left_join",
+    "q_latest_per_key", "q_pivot", "q_scan_nested", "q_route",
+    "q_text_quality", "q_sample_stratified",
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_containment", "q_bpe_merges",
     "q_bpe_encode", "q_phrase_search", "q_source_overlap",
     "q_dedup_summary", "q_dedup_simhash_verify", "q_dedup_minhash_verify",
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_lsh_rerank",
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
+    "q_analytic_window", "q_rollup", "q_cube",
 )
 
 

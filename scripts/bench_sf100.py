@@ -32,21 +32,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-QUERIES = [
-    # scan/agg controls
-    "q_groupby_sum", "q_dedup_exact", "q_tpch_q1", "q_window_agg",
-    # join families
-    "q_left_join", "q_tpch_q5", "q_tpch_q9", "q_tpch_q18",
-    # text/corpus heavy tier
-    "q_lm_score", "q_span_dedup", "q_tfidf", "q_corpus_pipeline",
-    "q_boilerplate", "q_decontaminate",
-    # dedup/similarity
-    "q_dedup_minhash_lsh", "q_semantic_dedup", "q_ann_bruteforce",
-    "q_ann_ivf",
-    # graph
-    "q_pagerank", "q_triangle_count",
-]
+# Canonical subset lives in bench.py (its sf10 block measures the same
+# queries every round); this sweep is the sf100 decade of the same curve.
+from bench import SCALE_SUBSET as QUERIES  # noqa: E402
 
 _CHILD = """
 import sys, time

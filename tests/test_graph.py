@@ -5,6 +5,7 @@ oracle twin agreeing bit-for-bit on a hand graph."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from assignment_2_dataengineering_spark.operators.graph import (
     pagerank,
@@ -237,15 +238,20 @@ def test_triangle_count_hand_graph(spark, sf_dir, duck):
     assert got["n_wedges"] == want[1]
 
 
-def test_two_phase_lead_equals_naive_global_lead(spark):
+@pytest.mark.parametrize("bucket", ["hour", "minute"])
+def test_two_phase_lead_equals_naive_global_lead(spark, bucket):
     """Pins the round-6 edge-derivation rewrite: the two-phase lead
-    (per-(type, hour) window + next-bucket-first stitch) must be
+    (per-(type, bucket) window + next-bucket-first stitch) must be
     VALUE-IDENTICAL to the naive global lead it replaced, on a corpus
     engineered to hit every boundary case — successions that cross
-    hour and day boundaries, hours with no events (the stitch must
+    bucket and day boundaries, buckets with no events (the stitch must
     find the next NON-EMPTY bucket), timestamp ties broken by
-    event_id, self-loop successions, and a type whose entire timeline
-    sits inside one bucket."""
+    event_id, self-loop successions, a type whose entire timeline
+    sits inside one bucket, and NULL user_id rows (the round-7 fix:
+    a null-user row before a bucket boundary must DROP the edge like
+    the global lead does, not substitute the next bucket's first
+    user). Parameterized over both granularities the scale ledger
+    documents (hour for sf-tier rates, minute for extreme rates)."""
     import datetime as dt
     import random
     import tempfile
@@ -265,13 +271,28 @@ def test_two_phase_lead_equals_naive_global_lead(spark):
             else:
                 # sparse over 3 days => many empty hours between events
                 ts = t0 + dt.timedelta(seconds=rng.randrange(3 * 86400))
-            rows.append((eid, ts, rng.randrange(6), etype, 1.0, "{}"))
+            # ~1 in 8 rows has a NULL user (anonymous event): the naive
+            # global lead drops both the edge INTO and OUT OF such rows
+            uid = None if rng.randrange(8) == 0 else rng.randrange(6)
+            rows.append((eid, ts, uid, etype, 1.0, "{}"))
             eid += 1
         # deliberate ts ties: two events at the SAME timestamp, order
         # must fall back to event_id
         tie_ts = t0 + dt.timedelta(hours=5)
         rows.append((eid, tie_ts, 97, etype, 1.0, "{}")); eid += 1
         rows.append((eid, tie_ts, 98, etype, 1.0, "{}")); eid += 1
+        # adversarial boundary: the LAST row of an hour has a null-user
+        # SUCCESSOR at the top of the next hour — coalesce-style
+        # stitching substitutes the next bucket's first non-null user
+        # here; the explicit boundary flag must not
+        edge_ts = t0 + dt.timedelta(hours=9, minutes=59, seconds=59)
+        rows.append((eid, edge_ts, 55, etype, 1.0, "{}")); eid += 1
+        rows.append(
+            (eid, edge_ts + dt.timedelta(seconds=1), None, etype, 1.0, "{}")
+        ); eid += 1
+        rows.append(
+            (eid, edge_ts + dt.timedelta(seconds=2), 56, etype, 1.0, "{}")
+        ); eid += 1
     ev = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -280,7 +301,10 @@ def test_two_phase_lead_equals_naive_global_lead(spark):
     d = tempfile.mkdtemp(prefix="lead2p_")
     ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
 
-    got = {(r["src"], r["dst"]) for r in _user_edges(spark, d).collect()}
+    got = {
+        (r["src"], r["dst"])
+        for r in _user_edges(spark, d, bucket=bucket).collect()
+    }
 
     want = set()
     by_type: dict[str, list] = {}
@@ -289,6 +313,9 @@ def test_two_phase_lead_equals_naive_global_lead(spark):
     for seq in by_type.values():
         seq.sort(key=lambda r: (r[1], r[0]))
         for cur, nxt in zip(seq, seq[1:]):
+            # SQL semantics: a null on either side yields no edge
+            if cur[2] is None or nxt[2] is None:
+                continue
             if nxt[2] != cur[2]:
                 want.add((cur[2], nxt[2]))
     assert got == want
