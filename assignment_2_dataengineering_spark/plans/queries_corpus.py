@@ -214,16 +214,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf): term frequencies and document frequencies are two hash
     aggregations; N arrives as a broadcast scalar (no collect); ranking
     orders by the ROUNDED score then token so the top-k cut is
-    deterministic cross-engine. Three shuffles total (tf, df-join,
-    doc window) — each keyed, none quadratic. The df table stays
-    distributed (a 100 TB corpus vocabulary outgrows broadcast)."""
+    deterministic cross-engine. Two shuffles total (tf agg, doc
+    window) — each keyed, none quadratic.
+
+    The df side is EXPLICITLY broadcast (round-7 fix, SCALE.md §6j):
+    left unhinted, AQE's runtime re-planning would intermittently flip
+    the build side and broadcast the FACT-DERIVED tf aggregate (11.6M
+    rows / 224 MB at sf10 — a 1 GiB humongous allocation on the
+    driver) while streaming the tiny df table through a single
+    coalesced task that re-emits every tf row alone: 4 s → 30 s,
+    bimodal on identical code/data because the flip depends on which
+    subtree's exchange materializes first. The hint pins build=df.
+    Scale dial: a corpus whose whitespace vocabulary outgrows executor
+    memory (≥ ~10^8 types) swaps the hint for
+    dfreq.hint(\"shuffle_hash\") — distributed df join, one extra
+    tf-by-token exchange; every measured tier (31-3.1k types; real web
+    corpora sit at 10^6-10^7) fits broadcast comfortably."""
     d = T(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -697,17 +710,21 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate detection, and the shape of real LM-based quality
     filters (train counts once, score every doc).
 
-    Plan: token and bigram count tables are keyed aggregates (NOT
-    broadcast — a 100 TB corpus vocabulary outgrows any broadcast,
-    same policy as q_tfidf's df table). The per-bigram score
-    log((c12+1)/(c1+V)) is computed ONCE on the |distinct bigrams|
-    count table (bgc ⋈ uni on the first token + the 1-row broadcast V),
-    and only that one score table joins the occurrence stream — the
-    occurrence-volume rows cross exactly TWO exchanges (score join +
-    per-doc aggregate) instead of three (round-4 restructure; the
-    score expression is unchanged, so the oracle still matches).
-    Bigrams reuse shingles_from_tokens(w, 2) — identical tokenization
-    to the dedup tier."""
+    Plan: token and bigram count tables are keyed aggregates. The
+    per-bigram score log((c12+1)/(c1+V)) is computed ONCE on the
+    |distinct bigrams| count table (bgc ⋈ uni on the first token + the
+    1-row broadcast V), and that one score table is EXPLICITLY
+    BROADCAST into the occurrence stream (round-7, SCALE.md §6j): the
+    occurrence-volume rows now cross exactly ONE exchange (the per-doc
+    aggregate). The previous "count tables stay distributed" policy
+    sort-merge-joined 12M occurrence rows by bigram STRING — measured
+    6.5x the whole query at sf10 (44.5 → 6.8 s); the score table is
+    |distinct bigrams| ≈ Heaps-sublinear in corpus size and fits
+    broadcast at every measurable tier. Scale dial (same as q_tfidf's
+    df table): a corpus whose bigram vocabulary outgrows executor
+    memory swaps the broadcast for .hint(\"shuffle_hash\"). Bigrams
+    reuse shingles_from_tokens(w, 2) — identical tokenization to the
+    dedup tier."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("__t")
     )
@@ -732,7 +749,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bigs.join(score_tbl, "bg")
+        bigs.join(F.broadcast(score_tbl), "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -163,8 +163,15 @@ def main() -> None:
     if os.path.isdir(sf10_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1":
         sf10_timings = _run_isolated(
             SCALE_SUBSET, sf10_dir, timed_runs=1, child_timeout=900,
-            extra_env={"SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get(
-                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")},
+            extra_env={
+                # §6h discipline: production-style initial shuffle count
+                # (AQE coalesces down) and a heap the sf10 join tier
+                # doesn't spill in
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"),
+                "SPARK_DRIVER_MEMORY": os.environ.get(
+                    "SPARK_DRIVER_MEMORY", "48g"),
+            },
         )
         sf10_block = {
             "value": round(sum(t for t in sf10_timings.values() if t > 0), 2),

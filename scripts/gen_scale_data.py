@@ -25,23 +25,27 @@ now "heaps":
   - G = round(sqrt(K)) vocabulary GROUPS; copy c belongs to group
     c % G. Every token in copy c > 0 gets the group suffix `_g<g>`
     (copy 0 keeps the original text so sf-subset containment with
-    sf0.1 holds). Total vocabulary ≈ V0 * (1 + sqrt(K)) — Heaps with
-    beta = 0.5.
+    sf0.1 holds). Total vocabulary ≈ V0 * (1 + 2*sqrt(K)) — Heaps
+    with beta = 0.5.
   - Same-group copies would otherwise be EXACT duplicates of each
-    other, which would corrupt the dedup tier. So each token
-    OCCURRENCE is additionally noised with probability 3/10 —
-    deterministically, on xxhash64(doc_id, copy, position) — to the
-    group's single noise variant `_g<g>x` (a shared pool of one, so
-    the noise adds only V0 more types per group, keeping growth
-    O(sqrt K)). Two same-group copies then agree on a given token
-    position with p = (1-f)^2 + f^2 = 0.58, so a 10-gram survives in
-    both with p ≈ 0.004, a 5-gram with p ≈ 0.07, a 3-gram with
-    p ≈ 0.18 (pairwise Jaccard ≈ 0.1 < the 0.3 leakage threshold):
-    no cross-copy pair reaches any dedup tier's threshold — exact,
-    MinHash (0.8), containment, span (10-gram), or 3-gram leakage —
-    preserving the round-6 guarantee the dedup benchmarks rely on,
-    while unigram/bigram statistics see a realistically-shared
-    vocabulary.
+    other, which would corrupt the dedup tier. So each token TYPE is
+    additionally relabeled, per copy, to one of 4 group variants
+    `_g<g>v<0-3>` chosen uniformly by xxhash64(token, copy). Keying
+    the noise on the token TYPE (never the doc or position) makes the
+    transform a pure injective per-copy vocabulary relabeling, so ALL
+    within-copy structure — exact duplicates, near-dup Jaccard,
+    n-gram spans, bigram counts — is preserved EXACTLY (the round-6
+    contract the dedup benchmarks rely on; an earlier draft keyed
+    noise on (doc_id, position), which silently destroyed within-copy
+    duplicate pairs). Across same-group copies a token type keeps the
+    same label with p = 1/4, so a cross-copy n-gram survives only if
+    all its distinct types agree: ~1e-6 for span dedup's 10-grams,
+    ~1.6% for 3-grams (Jaccard ≈ 0.008 « the 0.3 leakage threshold),
+    and a whole doc matches with p = 0.25^|types| (≤ 2.4e-4 even for
+    a 6-type doc — chosen over a binary noise flag, whose 0.58/type
+    agreement made low-type-count cross-copy near-dup pairs grow as
+    K^1.5). No cross-copy pair reaches any dedup threshold, while
+    unigram/bigram statistics see a realistically-shared vocabulary.
 
 "salted" (the round-6 worst case) remains selectable for A/B: every
 token of copy c > 0 suffixed `_c` — linear vocabulary, no cross-copy
@@ -63,7 +67,7 @@ from assignment_2_dataengineering_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 STRIDE = 10**10
-NOISE_NUM, NOISE_DEN = 3, 10  # occurrence-noise rate f = 0.3 in heaps mode
+HEAPS_VARIANTS = 4  # per-group relabeling variants; cross-copy type agreement = 1/4
 
 SHIFT_COLS = {
     "customer": ["c_custkey"],
@@ -92,19 +96,23 @@ def _salted_text(df):
 
 
 def _heaps_text(df, k: int):
-    """Heaps-law vocabulary: sqrt(K) group vocabularies + per-occurrence
-    noise to the group's single noise variant (module docstring)."""
+    """Heaps-law vocabulary: sqrt(K) group vocabularies, each token
+    TYPE relabeled per copy to one of HEAPS_VARIANTS group variants
+    (module docstring). The (group, variant) pair is packed into one
+    integer suffix `_h<g*V+v>` so heaps tokens carry the SAME suffix
+    byte count as salted mode's `_<copy>` — an early `_g<g>v<v>`
+    format added ~2 bytes/token over salted and that string-volume
+    artifact alone moved q_tfidf ~35% at sf10, polluting the
+    vocab-structure comparison. Injective: distinct source types never
+    collide (fixed `_h<digits>` suffix), so within-copy equality
+    structure is exactly the source corpus's."""
     g_count = max(1, round(k**0.5))
-    grp = (F.col("__copy") % F.lit(g_count)).cast("string")
+    grp = F.col("__copy") % F.lit(g_count)
 
-    def tok(x, i):
-        noisy = (
-            F.pmod(F.xxhash64(F.col("doc_id"), F.col("__copy"), i), F.lit(NOISE_DEN))
-            < NOISE_NUM
-        )
-        return F.concat(
-            x, F.lit("_g"), grp, F.when(noisy, F.lit("x")).otherwise(F.lit(""))
-        )
+    def tok(x):
+        v = F.pmod(F.xxhash64(x, F.col("__copy")), F.lit(HEAPS_VARIANTS))
+        code = (grp * HEAPS_VARIANTS + v).cast("string")
+        return F.concat(x, F.lit("_h"), code)
 
     return F.when(F.col("__copy") == 0, F.col("text")).otherwise(
         F.array_join(F.transform(F.split(F.col("text"), " "), tok), " ")

@@ -463,3 +463,27 @@ def test_no_registered_plan_fuses_both_regex_shapes_in_one_project(spark, sf_dir
                 bad[name] = body[:160]
                 break
     assert not bad, f"projections fusing both hot regex shapes: {bad}"
+
+
+def test_count_table_joins_broadcast_the_count_side(spark, sf_dir):
+    """q_tfidf's df table and q_lm_score's bigram score table are
+    EXPLICITLY broadcast (round-7, SCALE.md §6j): left to AQE, the
+    build side intermittently flipped to the fact-derived aggregate
+    (11.6M rows / 224 MB at sf10), which was then broadcast whole and
+    probed from a single coalesced task — 4 s vs 30 s bimodal on
+    identical code. The pin: each query's physical plan must contain a
+    BroadcastHashJoin, and the broadcast subtree must be the COUNT
+    side (contains the count-table aggregate), never the occurrence
+    stream."""
+    for name, marker in [("q_tfidf", "df#"), ("q_lm_score", "__s#")]:
+        plan = _physical(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        # the exploded occurrence stream must NOT sit under a broadcast:
+        # every BroadcastExchange subtree in these plans is hash-mode
+        # (the count side) or a 1-row scalar — a broadcast of the
+        # Generate (explode) output would print Generate under it
+        import re as _re
+        for m in _re.finditer(r"BroadcastExchange[^\n]*\n((?:\s*[:+|-]+[^\n]*\n)*)", plan):
+            assert "Generate explode" not in m.group(0)[:4000] or "HashedRelation" not in m.group(0)[:200], (
+                f"{name}: occurrence stream under a broadcast exchange"
+            )
