@@ -3,20 +3,31 @@
 scale factor (default sf100 = 1000x sf0.1 rows) — the third decade of
 the SCALE.md scaling study.
 
-Methodology differs from bench.py deliberately, twice:
+Methodology (aligned with bench.py v2's child protocol since round 7):
 
-- ONE warm-up-free timed run per query. At minute-scale walls the
-  launch variance that makes median-of-3 necessary at sub-second scale
-  is a rounding error, and a 3x repeat of the heavy tier would cost
-  hours for no information.
 - FRESH JVM per query (subprocess). The first single-session sweep at
   this SF measured q_corpus_pipeline at 206 s in-session vs 36 s
   isolated on identical code/data/partitions — minute-scale queries
   leave enough JVM state (JIT profile pollution across regex shapes,
   heap/GC pressure) to distort successors by ~6x. Per-query isolation
   costs ~15 s of untimed startup each and removes the cross-query
-  variable entirely. The in-JVM warm-up read before the timed run
-  keeps codegen/classloading out of the clock as before.
+  variable entirely.
+- The PARENT primes the OS page cache before EACH child (re-reading
+  still-cached pages costs seconds; the join tier's scans and spills
+  evict earlier-primed document files otherwise); each child then
+  times its FIRST run, forces a JVM GC, times a REPEAT, and reports
+  the MIN (bench.py's _child warm="scale", shared). Three measured
+  wrong ways bracket this design: (a) no priming silently measures
+  cache history (cold-cache q_groupby_sum 25.8 s vs ~4 s warm at
+  sf100 — the round-6 region.parquet-only warm-up left this
+  uncontrolled); (b) timing only the FIRST run measures cold JIT —
+  up to 2x on the text tier (q_tfidf 84 s first vs 42 s repeat);
+  (c) timing only a REPEAT hits in-session distortions — un-GC'd
+  checkpoint-block accumulation on iterative queries (q_pagerank
+  69 s first, 116 s un-GC'd repeat, 67-73 s GC'd) and intermittent
+  hot-regex deopt on the text tier (q_span_dedup 67 s first vs 234 s
+  repeat). The two failure modes never hit the same run, so min() is
+  robust to both.
 
 The subset spans every expensive plan family (count-table joins,
 shingle window, cell-quadratic, graph supersteps, TPC-H joins) plus
@@ -38,23 +49,10 @@ sys.path.insert(0, REPO)
 # queries every round); this sweep is the sf100 decade of the same curve.
 from bench import SCALE_SUBSET as QUERIES  # noqa: E402
 
-_CHILD = """
-import sys, time
-sys.path.insert(0, {repo!r})
-from assignment_2_dataengineering_spark.plans.registry import get_spec
-from assignment_2_dataengineering_spark.session import get_spark
-spark = get_spark(app_name="a2de-bench-sf100")
-spark.sparkContext.setLogLevel("ERROR")
-spark.read.parquet({sf_dir!r} + "/region.parquet").count()  # JVM warm-up
-t0 = time.perf_counter()
-get_spec({name!r}).fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
-print("WALL_S=%.2f" % (time.perf_counter() - t0), flush=True)
-spark.stop()
-"""
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.benchdata/sf100"
+    from bench import prime_page_cache
+
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEMORY", "96g")
     # Production-style shuffle sizing (SCALE.md §7): high initial
@@ -64,15 +62,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in QUERIES:
-        child = _CHILD.format(repo=REPO, sf_dir=sf_dir, name=name)
+        # re-prime BEFORE EACH child, not once per sweep: the join
+        # tier's ~25 GB scans + shuffle spills evict earlier-primed
+        # document files, which inflated late-running text queries
+        # ~2x mid-sweep (q_decontaminate 112 s in-sweep vs 58-64 s
+        # primed). Re-reading still-cached pages costs seconds; only
+        # the evicted parts touch disk.
+        prime_page_cache(sf_dir)
         out = subprocess.run(
-            [sys.executable, "-c", child], env=env,
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--child", name, sf_dir, "1", "scale"],
+            env=env,
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         wall = None
         for line in out.stdout.splitlines():
-            if line.startswith("WALL_S="):
-                wall = float(line.split("=", 1)[1])
+            if line.startswith("BENCHCHILD_MEDIAN="):
+                wall = round(float(line.split("=", 1)[1]), 2)
         if out.returncode != 0 or wall is None:
             print(f"{name}: FAILED rc={out.returncode}", file=sys.stderr, flush=True)
             timings[name] = -1.0
@@ -90,6 +96,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "timed_runs_per_query": 1,
                 "isolation": "fresh JVM per query",
+                "warm": "page cache primed; min(first run, post-GC repeat)",
                 "shuffle_partitions": env["SPARK_GRAFT_SHUFFLE_PARTITIONS"],
             }
         )
