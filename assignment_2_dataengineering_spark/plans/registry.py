@@ -62,31 +62,40 @@ def _ensure_loaded() -> None:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # That window is a deliberate, checked-in choice (round-5 judge item), not
-# an accident of import order. Round-7 rotation (round-6 judge item #3):
-# 156 oracle-paired queries had never appeared in a CORRECTNESS_rN file —
-# this round swaps 25 trivially-stable reference-core slots (each of which
-# has been driver-green in CORRECTNESS_r01..r06 and stays covered by the
-# local full-registry parity suite) for the entire TPC-H 22 plus the
-# analytic-window/rollup/cube trio. The dedup/ANN family stays: its three
-# no_oracle randomized ops (minhash-LSH, simhash, ann-lsh) must keep their
-# oracle-paired verify companions IN the window. Next rotation: the
-# temporal + corpus tiers. tests/test_registry_window.py pins this list —
-# reorder deliberately.
+# an accident of import order. Round-8 rotation (round-7 judge item #2):
+# the r07 window (dedup/ANN family + TPC-H 22 + rollup trio) went 47/47
+# green on its first scoreboard appearance, so all 50 slots rotate to
+# queries that have NEVER been driver-checked — the full temporal tier
+# (26), the corpus tier's heavyweights and hygiene ops (23, including the
+# queries round 7 re-planned: tfidf/lm_score/span_dedup, and this round's
+# re-keyed boilerplate — exactly the ones that should face the driver's
+# oracle next), and q_grouped_pca (round-7 judge item #3: its only driver
+# appearance, r02, crashed the driver's rows-only canonicalizer on
+# list-valued columns; the registration has since been reshaped to scalar
+# (label, component, explained_ratio, dim, loading) rows and must get a
+# green driver row). Rotated-out queries stay registered and oracle-paired
+# (tests/test_oracle_parity.py runs the full registry).
+# tests/test_registry_window.py pins this list — reorder deliberately.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "q_groupby_sum", "q_window_agg", "q_join_broadcast", "q_left_join",
-    "q_latest_per_key", "q_pivot", "q_scan_nested", "q_route",
-    "q_text_quality", "q_sample_stratified",
-    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_containment", "q_bpe_merges",
-    "q_bpe_encode", "q_phrase_search", "q_source_overlap",
-    "q_dedup_summary", "q_dedup_simhash_verify", "q_dedup_minhash_verify",
-    "q_ann_bruteforce", "q_ann_lsh", "q_ann_lsh_rerank",
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q21", "q_tpch_q22",
-    "q_analytic_window", "q_rollup", "q_cube",
+    # temporal tier (queries_temporal.py), registration order
+    "q_asof_join", "q_range_join", "q_sessionize", "q_dedup_clusters",
+    "q_gap_fill", "q_interval_window", "q_funnel", "q_cohort_retention",
+    "q_dedup_representative", "q_ohlc", "q_transition_matrix",
+    "q_rolling_zscore", "q_funnel_latency", "q_forecast_backtest",
+    "q_growth_accounting", "q_user_paths", "q_attribution", "q_decay_agg",
+    "q_concurrency", "q_event_pattern", "q_asof_forward",
+    "q_watermark_audit", "q_twap", "q_windowed_funnel", "q_changepoint",
+    "q_tail_latency",
+    # corpus tier (queries_corpus.py): heavyweights first
+    "q_tfidf", "q_lm_score", "q_bm25", "q_corpus_pipeline",
+    "q_corpus_pipeline_v2", "q_span_dedup", "q_boilerplate",
+    "q_decontaminate", "q_keyness", "q_vocab_oov",
+    "q_char_entropy", "q_ngram_topk", "q_pii_redact", "q_token_dedup",
+    "q_hash_split", "q_chunk", "q_sequence_pack", "q_domain_cap",
+    "q_dataset_card", "q_split_leakage", "q_shuffle_order", "q_upsample",
+    "q_weighted_sample",
+    # the one historically-red driver row, now scalar-shaped (rows-only)
+    "q_grouped_pca",
 )
 
 
