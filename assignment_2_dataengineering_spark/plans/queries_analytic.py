@@ -991,8 +991,14 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n")
     )
     anchors = items.filter(F.col("user_id") < 15)
+    # The anchor side is EXPLICITLY broadcast (round-8 AQE build-side
+    # audit): it is bounded by construction (the anchor predicate), while
+    # the unhinted planner was measured building on the FULL item index —
+    # harmless at test SF, a fact-scale broadcast (the q_tfidf flip class,
+    # SCALE.md §6j) at 100 TB. Scale dial: an anchor set beyond executor
+    # memory swaps this for .hint("shuffle_hash") on the anchor side.
     inter = (
-        anchors.select(F.col("user_id").alias("user_a"), "item")
+        F.broadcast(anchors.select(F.col("user_id").alias("user_a"), "item"))
         .join(items.select(F.col("user_id").alias("user_b"), "item"), "item")
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")

@@ -739,9 +739,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.shingles_from_tokens(F.col("w"), 2)).alias("bg")
     )
     bgc = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # uni (the unigram count table, strictly smaller than the bigram
+    # table it conditions) is EXPLICITLY broadcast — round-8 sweep of
+    # the count-table join class whose unhinted AQE flip SCALE.md §6j
+    # documents; same ≥10^8-type-vocabulary shuffle_hash dial as the
+    # downstream score_tbl broadcast.
     score_tbl = (
         bgc.withColumn("__t1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
-        .join(uni, F.col("__t1") == F.col("token"))
+        .join(F.broadcast(uni), F.col("__t1") == F.col("token"))
         .crossJoin(F.broadcast(vsize))
         .select(
             "bg",
@@ -1141,8 +1146,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # The tf⋈dl join is pinned SHUFFLE_HASH with build=tf (round-8 AQE
+    # build-side audit): tf is |hits|-sized by construction (the term
+    # filter runs BELOW the aggregate) but UNBOUNDED for stopword-class
+    # terms, and dl is |docs|-sized — at 100 TB neither side is safely
+    # broadcastable, and unhinted, AQE's runtime re-plan could broadcast
+    # dl outright (the q_tfidf flip class, SCALE.md §6j). The hint keeps
+    # it distributed: dl arrives already hash-partitioned by doc_id from
+    # its own groupBy (exchange reuse — zero extra dl shuffles) and the
+    # only added exchange is the |hits|-sized tf side.
     ts = (
         tf.join(F.broadcast(dfreq), "token")
+        .hint("shuffle_hash")  # consumed by the NEXT join: build=hits side
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1288,9 +1303,17 @@ def q_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = toks.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
     tot = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c_all"))
     n_all = toks.agg(F.count(F.lit(1)).cast("double").alias("__n_all"))
+    # tot is the token-count table — the same count-table class as
+    # q_tfidf's df side, EXPLICITLY broadcast for the same reason
+    # (round-8 AQE build-side audit): left unhinted, AQE's runtime
+    # re-plan can flip the build side to the fact-derived (source,
+    # token) aggregate — the 4s/30s bimodal + driver-OOM-at-scale
+    # failure SCALE.md §6j documents for q_tfidf. Same scale dial: a
+    # vocabulary beyond executor memory (≥ ~10^8 types) swaps this for
+    # tot.hint("shuffle_hash").
     scored = (
         cs.join(F.broadcast(ns), "source")
-        .join(tot, "token")
+        .join(F.broadcast(tot), "token")
         .crossJoin(F.broadcast(n_all))
         .select(
             "source",

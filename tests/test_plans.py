@@ -465,25 +465,184 @@ def test_no_registered_plan_fuses_both_regex_shapes_in_one_project(spark, sf_dir
     assert not bad, f"projections fusing both hot regex shapes: {bad}"
 
 
+def _walk_plan(node, out):
+    out.append(node)
+    for i in range(node.children().length()):
+        _walk_plan(node.children().apply(i), out)
+    return out
+
+
+def _physical_tree(spark, name, sf_dir):
+    """The pre-execution physical plan as a py4j node list (AQE's
+    initial plan — explicit broadcast hints are resolved at planning
+    time, which is exactly what these pins assert)."""
+    df = all_specs()[name].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan()
+    try:
+        p = p.initialPlan()  # unwrap AdaptiveSparkPlanExec
+    except Exception:
+        pass
+    return _walk_plan(p, [])
+
+
+def _attr_names(jnode):
+    """Output attribute names of a plan node, #exprId stripped."""
+    return set(re.findall(r"(\w+)#\d+", jnode.output().toString()))
+
+
 def test_count_table_joins_broadcast_the_count_side(spark, sf_dir):
-    """q_tfidf's df table and q_lm_score's bigram score table are
-    EXPLICITLY broadcast (round-7, SCALE.md §6j): left to AQE, the
+    """q_tfidf's df table and q_lm_score's bigram/unigram count tables
+    are EXPLICITLY broadcast (round-7, SCALE.md §6j): left to AQE, the
     build side intermittently flipped to the fact-derived aggregate
     (11.6M rows / 224 MB at sf10), which was then broadcast whole and
     probed from a single coalesced task — 4 s vs 30 s bimodal on
-    identical code. The pin: each query's physical plan must contain a
-    BroadcastHashJoin, and the broadcast subtree must be the COUNT
-    side (contains the count-table aggregate), never the occurrence
-    stream."""
-    for name, marker in [("q_tfidf", "df#"), ("q_lm_score", "__s#")]:
-        plan = _physical(spark, name, sf_dir)
-        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
-        # the exploded occurrence stream must NOT sit under a broadcast:
-        # every BroadcastExchange subtree in these plans is hash-mode
-        # (the count side) or a 1-row scalar — a broadcast of the
-        # Generate (explode) output would print Generate under it
-        import re as _re
-        for m in _re.finditer(r"BroadcastExchange[^\n]*\n((?:\s*[:+|-]+[^\n]*\n)*)", plan):
-            assert "Generate explode" not in m.group(0)[:4000] or "HashedRelation" not in m.group(0)[:200], (
-                f"{name}: occurrence stream under a broadcast exchange"
+    identical code; at 1000 executors, a driver OOM.
+
+    The pin walks the actual plan tree (round-8 ADVICE fix: the r7
+    string-match version could not fire — formatted mode never prints
+    'Generate explode' in the tree section, and the build side wasn't
+    actually asserted). For every BroadcastHashJoin: the BUILD child's
+    output must be exactly one of the query's count tables, and the
+    PROBE subtree must carry the exploded occurrence stream (a
+    Generate node). Every remaining BroadcastExchange must feed from a
+    single-column scalar aggregate (the corpus-total 1-row table)."""
+    expected = {
+        # query -> (allowed build-side column sets, scalar-exchange cols)
+        "q_tfidf": ([{"token", "df"}], {"__n"}),
+        "q_lm_score": ([{"bg", "__s"}, {"token", "c1"}], {"vsize"}),
+    }
+    for name, (count_sides, scalar_cols) in expected.items():
+        nodes = _physical_tree(spark, name, sf_dir)
+        bhjs = [n for n in nodes if "BroadcastHashJoin" in n.getClass().getSimpleName()]
+        assert len(bhjs) >= len(count_sides), f"{name} lost a broadcast join"
+        seen_builds = []
+        for j in bhjs:
+            side = j.buildSide().toString()
+            build = j.children().apply(0 if side == "BuildLeft" else 1)
+            probe = j.children().apply(1 if side == "BuildLeft" else 0)
+            cols = _attr_names(build)
+            assert cols in count_sides, (
+                f"{name}: broadcast build side is {sorted(cols)} — not a "
+                f"count table; AQE flipped the build side back to the "
+                f"fact-derived aggregate"
             )
+            seen_builds.append(cols)
+            assert "Generate" in probe.toString(), (
+                f"{name}: probe side has no Generate — the exploded "
+                f"occurrence stream is not where the plan streams it"
+            )
+        for want in count_sides:
+            assert want in seen_builds, f"{name}: no join builds on {sorted(want)}"
+        # any broadcast exchange NOT under an asserted join must be the
+        # 1-row corpus-total scalar, never a keyed fact aggregate
+        for n in nodes:
+            if "BroadcastExchange" not in n.getClass().getSimpleName():
+                continue
+            child_cols = _attr_names(n.children().apply(0))
+            assert child_cols in count_sides or child_cols <= scalar_cols, (
+                f"{name}: unexpected broadcast of {sorted(child_cols)}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 generalization of the build-side pin (round-7 judge item #6): the
+# AQE flip is a CLASS — any unhinted join of a fact-derived aggregate with a
+# small table DERIVED from the facts (not a dim scan) can have its build
+# side flipped by runtime re-planning (bimodal 4s/30s at sf10; a fact-scale
+# driver broadcast at 1000 executors). Every registry join in the class is
+# either PINNED below (explicit broadcast/shuffle_hash, asserted on the
+# plan tree) or EXEMPT with the reason the flip cannot hurt it.
+
+# query -> list of (node-kind, build-side requirement) that must each match
+# at least one join in the plan, plus a blocklist of column sets that must
+# NEVER appear under a BroadcastExchange.
+AUDITED_BUILD_SIDES = {
+    # tf (|hits|-sized, term-filtered below the aggregate) builds a
+    # SHUFFLED hash join against |docs|-sized dl: neither side is safely
+    # broadcastable at 100 TB, and dl reuses its own groupBy partitioning
+    "q_bm25": {
+        "require": [("ShuffledHashJoin", {"doc_id", "token", "tf", "df"})],
+        "never_broadcast": [{"doc_id", "dl"}],
+    },
+    # the token count table (tfidf's df-side class) is the pinned build
+    "q_keyness": {
+        "require": [("BroadcastHashJoin", {"token", "c_all"})],
+        "never_broadcast": [{"source", "token", "c"}],
+    },
+    # the bounded anchor set is the pinned build; the full item index
+    # must never sit under a broadcast
+    "q_user_similarity": {
+        "require": [("BroadcastHashJoin", {"user_a", "item"})],
+        "never_broadcast": [{"user_b", "item"}, {"user_id", "item"}],
+    },
+    # top-V vocabulary (LIMIT-bounded) is the pinned build
+    "q_vocab_oov": {
+        "require": [("BroadcastHashJoin", {"token", "__in"})],
+        "never_broadcast": [{"doc_id", "token"}],
+    },
+    # unigram count table builds against the bigram count table (both
+    # count-class; uni is strictly smaller)
+    "q_lm_score": {
+        "require": [("BroadcastHashJoin", {"token", "c1"})],
+        "never_broadcast": [{"doc_id", "bg"}],
+    },
+}
+
+# Unhinted joins swept and left alone, with the reason AQE's choice is
+# safe. The shape that makes the flip DANGEROUS is asymmetric cardinality
+# (count-table vs fact aggregate): for same-scale sides, a runtime
+# broadcast only fires when the side is genuinely small at that tier, and
+# at 100 TB neither side passes the threshold, so the join degrades to
+# shuffle — stable both ways.
+AUDIT_EXEMPT = {
+    "q_domain_cap": "cleaned⋈capped: both |docs|-sized projections of the same cap",
+    "q_corpus_pipeline_v2": "same doc_id-keyed same-cardinality gate join",
+    "q_phrase_search": "positional self-join: both sides the same term-filtered stream",
+    "q_dedup_containment": "blocked self-join, block cap 64 bounds both sides",
+    "q_join_cardinality": "two key-histogram aggregates of the same key domain",
+    "q_psi_drift": "two (event_type,bin)-bounded histograms, both small by construction",
+    "q_range_join": "errors⋈counts: counts is derived FROM errors, same key domain",
+    "q_funnel": "step tables are user-keyed aggregates of one scan, same scale",
+    "q_cohort_retention": "activity⋈first_seen: both user-keyed, same scale",
+    "q_growth_accounting": "weekly⋈churn: both week-bounded aggregates",
+    "q_scd2_lookup": "range predicate join: both fact-scale, SMJ/shuffle intended",
+    "q_dedup_clusters": "clusters⋈sizes: same cluster-key domain both sides",
+}
+
+
+@pytest.mark.parametrize("name", sorted(AUDITED_BUILD_SIDES), ids=str)
+def test_audited_fact_aggregate_joins_pin_their_build_side(spark, name, sf_dir):
+    spec = AUDITED_BUILD_SIDES[name]
+    nodes = _physical_tree(spark, name, sf_dir)
+    joins = [
+        n for n in nodes
+        if "HashJoin" in n.getClass().getSimpleName()
+    ]
+    for kind, want_cols in spec["require"]:
+        hits = []
+        for j in joins:
+            if kind not in j.getClass().getSimpleName():
+                continue
+            side = j.buildSide().toString()
+            build = j.children().apply(0 if side == "BuildLeft" else 1)
+            if want_cols <= _attr_names(build):
+                hits.append(j)
+        assert hits, (
+            f"{name}: no {kind} builds on {sorted(want_cols)} — the "
+            f"audited pin regressed"
+        )
+    for n in nodes:
+        if "BroadcastExchange" not in n.getClass().getSimpleName():
+            continue
+        child_cols = _attr_names(n.children().apply(0))
+        for banned in spec["never_broadcast"]:
+            assert not banned <= child_cols, (
+                f"{name}: fact-derived side {sorted(banned)} under a "
+                f"BroadcastExchange (cols {sorted(child_cols)})"
+            )
+
+
+def test_audit_exemption_list_matches_registry():
+    specs = all_specs()
+    for name in AUDIT_EXEMPT:
+        assert name in specs, f"exempt query {name} no longer registered"
