@@ -27,6 +27,7 @@ def boilerplate_scores(
     n: int = 3,
     ratio_num: int = 1,
     ratio_den: int = 5,
+    exact_keys: bool = False,
 ) -> DataFrame:
     """Per-document boilerplate ratio: the fraction of a doc's DISTINCT
     word n-grams that are corpus-common, where "common" means the gram
@@ -47,6 +48,26 @@ def boilerplate_scores(
     barrier (operators/dedup.py:_with_shingle_set) so the n-gram
     builder's element_at references don't re-split the text per gram.
 
+    Key width (round-8, after a STAGED sf100 profile pinned the cost):
+    the document-frequency aggregate shuffles and hash-groups on
+    **xxhash64(gram) — 8 bytes** — instead of the raw ~25-char gram
+    string, and the broadcast common set becomes a long array probed
+    by array_intersect over the doc's hashed gram array. The profile
+    (scripts/profile_boilerplate.py, sf100 = 25M-doc corpus): scan
+    1.05 s, shingle-only 11.9 s, string-key dfreq 65.6 s, full 70.8 s
+    — the string-key aggregate was ~80% of the query, and its 107 s
+    cold-JIT first run is what the r7 ledger's 106-138 s protocol
+    spread was measuring. This is span_dedup's occurrence-shuffle
+    policy (operators/dedup.py) applied to the gram aggregate.
+    Collision budget: P ≈ D²/2^65 (D = distinct grams; 1.7e-5 at
+    sf100's D≈2.5e7) and a collision only merges two grams' df counts
+    or their common-set membership — it can slightly INFLATE one
+    gram's commonness, never lose a common gram, and moves one doc's
+    4dp ratio only if the collided gram sits in that doc.
+    `exact_keys=True` keeps the raw-string path for corpora where that
+    budget is unacceptable; the oracle groups by raw string and stays
+    hash-green for both key widths at every test SF.
+
     Plan honesty: the per-doc gram array is built twice (the
     doc-frequency branch and the scoring branch) because Catalyst does
     not share common subtrees — the text is scanned and shingled twice.
@@ -63,8 +84,17 @@ def boilerplate_scores(
             F.array(F.array_distinct(TX.shingles_from_tokens(F.col("__w"), n)))
         ).alias("__g"),
     )
+    if not exact_keys:
+        # hash each distinct gram ONCE per doc, JVM-side; everything
+        # downstream (shuffle, group keys, broadcast set, membership
+        # probe) moves 8-byte longs instead of gram strings
+        gram_arr = gram_arr.withColumn(
+            "__gk", F.transform("__g", lambda g: F.xxhash64(g))
+        )
+    else:
+        gram_arr = gram_arr.withColumn("__gk", F.col("__g"))
     dfreq = (
-        gram_arr.select(F.explode("__g").alias("gram"))
+        gram_arr.select(F.explode("__gk").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -72,7 +102,7 @@ def boilerplate_scores(
     # The pigeonhole bound above means the whole common set fits ONE
     # broadcast array row, so per-doc scoring is a narrow
     # array_intersect against the doc's (already materialized) distinct
-    # gram array — the previous left-join + per-doc re-aggregation
+    # gram-key array — the previous left-join + per-doc re-aggregation
     # pushed the exploded gram stream through a SECOND gram-volume
     # exchange just to count membership (sf100: 72.5 → ~55 s). The
     # empty-gram filter preserves the unnest drop-out semantics.
@@ -87,7 +117,7 @@ def boilerplate_scores(
         .select(
             F.col(id_col),
             F.size("__g").cast("long").alias("n_grams"),
-            F.size(F.array_intersect("__g", "__common"))
+            F.size(F.array_intersect("__gk", "__common"))
             .cast("long")
             .alias("n_common"),
         )
