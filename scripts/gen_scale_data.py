@@ -99,11 +99,18 @@ def _heaps_text(df, k: int):
     """Heaps-law vocabulary: sqrt(K) group vocabularies, each token
     TYPE relabeled per copy to one of HEAPS_VARIANTS group variants
     (module docstring). The (group, variant) pair is packed into one
-    integer suffix `_h<g*V+v>` so heaps tokens carry the SAME suffix
-    byte count as salted mode's `_<copy>` — an early `_g<g>v<v>`
-    format added ~2 bytes/token over salted and that string-volume
-    artifact alone moved q_tfidf ~35% at sf10, polluting the
-    vocab-structure comparison. Injective: distinct source types never
+    integer suffix `_h<g*V+v>` so heaps tokens carry NEARLY the same
+    suffix byte count as salted mode's `_<copy>` — an early
+    `_g<g>v<v>` format added ~2 bytes/token over salted and that
+    string-volume artifact alone moved q_tfidf ~35% at sf10, polluting
+    the vocab-structure comparison. NOT exactly matched (round-8
+    ADVICE): at K=100, salted suffixes are mostly 3 bytes (`_57`)
+    while heaps codes span 0..4·sqrt(K) and are mostly 4 (`_h43`) — a
+    residual ~1 byte/token heaps-side penalty, worth roughly half the
+    measured 35%/2-byte effect (~15-20% on string-volume-bound
+    queries), so treat heaps-vs-salted A/Bs within that margin as
+    byte-skew, not vocabulary structure. Injective: distinct source
+    types never
     collide (fixed `_h<digits>` suffix), so within-copy equality
     structure is exactly the source corpus's."""
     g_count = max(1, round(k**0.5))
