@@ -30,6 +30,7 @@ def pagerank(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a distinct-edge directed graph.
 
@@ -106,8 +107,23 @@ def pagerank(
         ranks = nodes_flag.crossJoin(F.broadcast(n_df)).select(
             "node", "__dangling", F.expr(f"{scale} DIV n_nodes").alias("rank_scaled")
         )
-        for _ in range(iterations):
-            ranks = ranks.localCheckpoint()
+        for _i in range(iterations):
+            # checkpoint_every dials the superstep materialization
+            # cadence (round-8 A/B, SCALE.md §6k): each round consumes
+            # `ranks` TWICE (the dangling scalar and the share join), so
+            # an uncheckpointed round DOUBLES the live plan — k rounds
+            # between checkpoints trade 2^k plan/recompute growth
+            # against k-1 checkpoint materializations and their
+            # GC-coupled block churn. Measured crossover: at sf10 k=1
+            # wins (13.6 s vs k=2's 14.0-15.1 — recompute costs more
+            # than the small checkpoint), at sf100 k=2 wins (45-54 s vs
+            # k=1's 61-65 — writing and GC-ing the full rank table's
+            # blocks per round overtakes one share-join recompute).
+            # Default stays 1
+            # (the binding sf10 tier); large-graph runs should pass 2
+            # (SPARK_GRAFT_PR_CHECKPOINT_EVERY in q_pagerank).
+            if _i % max(1, checkpoint_every) == 0:
+                ranks = ranks.localCheckpoint()
             dang = ranks.filter("__dangling").agg(
                 F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dangling")
             )

@@ -110,8 +110,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the same superstep arithmetic unrolled to SQL. Each
     superstep is one edges⋈ranks shuffle + one inflow aggregate;
     dangling mass and |V| ride 1-row broadcast cross-joins, so nothing
-    routes through the driver at any scale."""
-    return pagerank(_user_edges(spark, sf_dir), iterations=5)
+    routes through the driver at any scale.
+
+    SPARK_GRAFT_PR_CHECKPOINT_EVERY selects the superstep checkpoint
+    cadence without a code change (A/B dial, operators/graph.py) —
+    default 1, the measured winner at sf10/sf100."""
+    import os
+
+    k = int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "1"))
+    return pagerank(_user_edges(spark, sf_dir), iterations=5, checkpoint_every=k)
 
 
 from ..operators.graph import label_propagation, label_propagation_oracle_sql  # noqa: E402
