@@ -120,6 +120,28 @@ def test_boilerplate_scores_flags_planted_template(spark):
         assert 0.0 < out[i]["boilerplate_ratio"] < 1.0
 
 
+def test_boilerplate_hashed_and_exact_keys_agree(spark, sf_dir):
+    """Round-8 key-width change (operators/cleaning.py): the xxhash64
+    gram keys must be value-equivalent to the raw-string path on real
+    data — the documented collision budget (P ≈ D²/2^65) predicts zero
+    collisions at any test SF, so any divergence is a bug, not a
+    collision."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["n_common"], r["boilerplate_ratio"])
+        for r in boilerplate_scores(docs, "text", "doc_id").collect()
+    }
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_common"], r["boilerplate_ratio"])
+        for r in boilerplate_scores(
+            docs, "text", "doc_id", exact_keys=True
+        ).collect()
+    }
+    assert hashed == exact
+
+
 def test_pii_scrub_preserves_space_separated_number_runs(spark):
     """The phone pattern must not span spaces: a year list is ordinary
     data, not a phone number (precision-over-recall for scrubbing —
