@@ -111,16 +111,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The shingle text never crosses an exchange: the (doc, shingle)
     # distinct — ~190 rows per doc — and the eval-set broadcast both
-    # key on the shingle's 128-bit md5 (16 bytes vs the ~65-byte
-    # 13-gram string; collision-free-by-design, same policy as exact
-    # dedup's fingerprint and span dedup's window key). Counts are
-    # value-identical, so the string-keyed DuckDB oracle still matches.
+    # key on xxhash64 of the shingle (8 bytes vs the ~30-byte 5-gram
+    # string; round 8, completing the key-width policy span_dedup and
+    # boilerplate_scores already carry): the distinct's shuffle rows
+    # shrink 24 → 16 B and the corpus-wide hash (4.75B shingles at
+    # sf100) drops the cryptographic md5 CPU term. Collision budget is
+    # the documented P ≈ D²/2^65, and the direction is conservative
+    # FOR DECONTAMINATION: a train↔eval collision can only FLAG one
+    # extra (doc, shingle) as shared — contamination is never missed.
+    # Counts are value-identical absent a collision, so the
+    # string-keyed DuckDB oracle still matches. (The pre-r8 md5 path
+    # measured 94.5/95.0 s at sf100, matched-condition.)
     sh = (
         toks.select(
             "doc_id",
             F.explode(TX.shingles_from_tokens(F.col("__w"), _DECON_N)).alias("__s"),
         )
-        .select("doc_id", F.unhex(F.md5(F.col("__s"))).alias("shingle"))
+        .select("doc_id", F.xxhash64(F.col("__s")).alias("shingle"))
         .distinct()
     )
     ev = (
