@@ -600,6 +600,7 @@ def span_dedup(
     text_col: str = "text",
     max_shingle_freq: int | None = None,
     exact_keys: bool = False,
+    first_occurrence: str = "window",
 ) -> DataFrame:
     """Exact substring (span) deduplication: remove every token span
     that repeats an n-gram already seen elsewhere in the corpus,
@@ -614,15 +615,24 @@ def span_dedup(
       1. tokenize once, posexplode shingles → (doc, pos, shingle); the
          token array materializes behind the Generate barrier so the
          shingle expression does not fan out per reference;
-      2. window min(struct(doc, pos)) over shingle marks every
-         occurrence that is not globally first — one shuffle on the
-         shingle key. A corpus-frequent shingle (boilerplate) makes a
-         hot key; `max_shingle_freq` is the production guard: shingles
-         whose corpus count exceeds it route through a map-side-combined
-         aggregate + BROADCAST of the (small) hot-shingle first-
-         occurrence table instead of the window, so no window partition
-         ever exceeds `max_shingle_freq` rows. The routing changes the
-         PLAN only — output is identical with any cap (equivalence
+      2. mark every occurrence that is not globally first. Default
+         (`first_occurrence="window"`): min-over-window on the shingle
+         key — one shuffle, with WindowExec sorting the occurrence
+         stream per partition; `max_shingle_freq` is its skew guard
+         (hot shingles route through a map-side-combined aggregate +
+         BROADCAST of the small hot-shingle first-occurrence table, so
+         no window partition exceeds the cap).
+         `first_occurrence="join"` (round-8 measured dial) replaces the
+         window with a min-struct AGGREGATE per shingle shuffle-hash-
+         joined back onto the occurrence stream — sort-free and
+         skew-immune with no cap needed. Measured crossover (§6k): at
+         sf100 the join form collapses the window form's 44-135 s
+         sort-JIT lottery to a stable 75-79 s at the same median, but
+         at sf10 it costs ~50% more (8.8 vs 5.4-6.4 s — the extra
+         combined-aggregate exchange isn't paid back where the sort is
+         cheap), so window stays the default and variance-sensitive
+         large-corpus runs pass "join". Strategy and cap change the
+         PLAN only — output is identical under all of them (equivalence
          pinned in tests/test_dedup.py, and q_corpus_pipeline_v2 runs
          capped against the uncapped oracle);
       3. duplicate occurrences explode to covered positions,
@@ -689,7 +699,41 @@ def span_dedup(
             .select(id_col, "pos")
         )
 
-    if max_shingle_freq is None:
+    def _join_dups(occ: DataFrame) -> DataFrame:
+        # SORT-FREE first-occurrence (round-8 dial): aggregate the
+        # global min (doc, pos) per shingle — map-side combined, so the
+        # agg exchange carries ≤ |distinct shingles| rows — then
+        # SHUFFLE-HASH join it back onto the occurrence stream (build =
+        # the aggregate; pinned so neither AQE nor a planner change
+        # sorts either side). The window form needs WindowExec to SORT
+        # the full occurrence stream inside each partition (4.75B rows
+        # at sf100), and a staged profile put the JIT lottery exactly
+        # there: the window stage alone read 46 vs 121 s across runs in
+        # ONE JVM, while the narrow scan below it was stable (18-22 s).
+        # This form removes the variance source and the skew concern in
+        # one move — a hot shingle is ONE build-side entry probed in
+        # O(1) per occurrence, so no frequency cap is needed — at the
+        # cost of the extra combined-aggregate exchange, which is why
+        # it is the large-corpus dial rather than the default (sf10
+        # reads ~50% higher; see the operator docstring and SCALE.md
+        # §6k for the measured crossover). Output is identical to the
+        # window form (same min-struct, same filter; pinned value-equal
+        # in tests/test_dedup.py).
+        first_tbl = occ.groupBy("sh").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+        )
+        return (
+            occ.join(first_tbl.hint("shuffle_hash"), "sh")
+            .filter(
+                (F.col("__first")[id_col] != F.col(id_col))
+                | (F.col("__first")["pos"] != F.col("pos"))
+            )
+            .select(id_col, "pos")
+        )
+
+    if first_occurrence == "join":
+        dup_occ = _join_dups(sh)
+    elif max_shingle_freq is None:
         dup_occ = _window_dups(sh)
     else:
         # Hot-shingle routing: boilerplate shingles (count > cap) would

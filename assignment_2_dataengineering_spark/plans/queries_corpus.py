@@ -890,11 +890,18 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     between exact-doc hashing and MinHash, per Lee et al. 2021. Fully
     duplicated documents come back as empty text rather than
     disappearing. Exactly SQL-expressible, so unlike the randomized
-    banding tiers this one is hash-checked against DuckDB."""
+    banding tiers this one is hash-checked against DuckDB.
+
+    SPARK_GRAFT_SPAN_FIRST_OCC selects the first-occurrence strategy
+    ("window" default, "join" = the sort-free variance-collapse dial
+    for very large corpora — measured crossover in SCALE.md §6k)."""
+    import os
+
     from ..operators.dedup import span_dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return span_dedup(docs, n=10)
+    strategy = os.environ.get("SPARK_GRAFT_SPAN_FIRST_OCC", "window")
+    return span_dedup(docs, n=10, first_occurrence=strategy)
 
 
 @register(

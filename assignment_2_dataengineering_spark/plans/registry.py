@@ -74,7 +74,10 @@ def _ensure_loaded() -> None:
 # list-valued columns; the registration has since been reshaped to scalar
 # (label, component, explained_ratio, dim, loading) rows and must get a
 # green driver row). Rotated-out queries stay registered and oracle-paired
-# (tests/test_oracle_parity.py runs the full registry).
+# (tests/test_oracle_parity.py runs the full registry). Next rotation:
+# the analytic tier (45 never-windowed), then scale (14) + match (5) +
+# similarity (9) + multimodal (4) + graph (5) — after which every
+# registered query will have faced the driver's oracle at least once.
 # tests/test_registry_window.py pins this list — reorder deliberately.
 DRIVER_WINDOW: tuple[str, ...] = (
     # temporal tier (queries_temporal.py), registration order

@@ -329,15 +329,9 @@ def test_containment_bounded_below_by_jaccard(spark, sf_dir):
     assert jac <= cont
 
 
-def test_span_dedup_cap_routing_is_noop(spark):
-    """max_shingle_freq changes the PLAN (hot shingles route through a
-    broadcast first-occurrence table instead of the per-key window),
-    never the OUTPUT — pinned on a corpus with a genuinely hot repeated
-    span so the hot path actually executes (cap=2 < its frequency)."""
-    from assignment_2_dataengineering_spark.operators.dedup import span_dedup
-
+def _span_hot_corpus(spark):
     boiler = "the quick brown fox jumps over the lazy dog again and again"
-    docs = spark.createDataFrame(
+    return spark.createDataFrame(
         [
             (1, boiler + " unique one two three four five six seven"),
             (2, "alpha beta " + boiler + " gamma delta epsilon zeta eta theta"),
@@ -347,8 +341,52 @@ def test_span_dedup_cap_routing_is_noop(spark):
         ],
         "doc_id long, text string",
     )
-    uncapped = {tuple(r) for r in span_dedup(docs, n=10).collect()}
-    capped = {tuple(r) for r in span_dedup(docs, n=10, max_shingle_freq=2).collect()}
+
+
+def test_span_dedup_cap_routing_is_noop(spark):
+    """max_shingle_freq changes the PLAN (hot shingles route through a
+    broadcast first-occurrence table instead of the per-key window),
+    never the OUTPUT — pinned on a corpus with a genuinely hot repeated
+    span so the hot path actually executes (cap=2 < its frequency).
+    The cap only exists on the window strategy (the join strategy is
+    skew-immune by construction), so both sides pin window mode —
+    under the round-8 join default this test would otherwise compare
+    the join path to itself."""
+    from assignment_2_dataengineering_spark.operators.dedup import span_dedup
+
+    docs = _span_hot_corpus(spark)
+    uncapped = {
+        tuple(r)
+        for r in span_dedup(docs, n=10, first_occurrence="window").collect()
+    }
+    capped = {
+        tuple(r)
+        for r in span_dedup(
+            docs, n=10, max_shingle_freq=2, first_occurrence="window"
+        ).collect()
+    }
     assert capped == uncapped
     # sanity: the hot span really repeats > cap times
     assert any(r[3] > 0 for r in uncapped)
+
+
+def test_span_dedup_join_and_window_strategies_agree(spark, sf_dir):
+    """Round-8 strategy change: the sort-free aggregate+shuffle-hash-join
+    first-occurrence (the new default) must be value-identical to the
+    min-over-window form — on the hot-span corpus (where doc 3 empties
+    entirely) AND on the real documents table."""
+    from assignment_2_dataengineering_spark.operators.dedup import span_dedup
+
+    for docs in (
+        _span_hot_corpus(spark),
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+    ):
+        join_out = {
+            tuple(r)
+            for r in span_dedup(docs, n=10, first_occurrence="join").collect()
+        }
+        win_out = {
+            tuple(r)
+            for r in span_dedup(docs, n=10, first_occurrence="window").collect()
+        }
+        assert join_out == win_out
