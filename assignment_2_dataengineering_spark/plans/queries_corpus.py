@@ -892,15 +892,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappearing. Exactly SQL-expressible, so unlike the randomized
     banding tiers this one is hash-checked against DuckDB.
 
-    SPARK_GRAFT_SPAN_FIRST_OCC selects the first-occurrence strategy
-    ("window" default, "join" = the sort-free variance-collapse dial
-    for very large corpora — measured crossover in SCALE.md §6k)."""
+    First-occurrence strategy is SCALE-AWARE by default (round-9):
+    "auto" picks the measured sf-tier winner from the optimizer's size
+    estimate of the document scan (operators/dedup.select_span_strategy
+    — window below 1e10 plan-stat bytes, the sort-free join form at or
+    above; crossover in SCALE.md §6k/§6l). SPARK_GRAFT_SPAN_FIRST_OCC
+    overrides with an explicit "window"/"join"; span_dedup rejects
+    anything else loudly (round-8 ADVICE) instead of silently falling
+    through to the window plan."""
     import os
 
     from ..operators.dedup import span_dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    strategy = os.environ.get("SPARK_GRAFT_SPAN_FIRST_OCC", "window")
+    strategy = os.environ.get("SPARK_GRAFT_SPAN_FIRST_OCC", "auto")
     return span_dedup(docs, n=10, first_occurrence=strategy)
 
 

@@ -112,12 +112,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling mass and |V| ride 1-row broadcast cross-joins, so nothing
     routes through the driver at any scale.
 
-    SPARK_GRAFT_PR_CHECKPOINT_EVERY selects the superstep checkpoint
-    cadence without a code change (A/B dial, operators/graph.py) —
-    default 1, the measured winner at sf10/sf100."""
+    Checkpoint cadence is SCALE-AWARE by default (round-9): the
+    operator picks the measured sf-tier winner from the distinct edge
+    count (operators/graph.select_checkpoint_cadence — k=1 below 3e7
+    edges, k=2 at or above, crossover in SCALE.md §6l).
+    SPARK_GRAFT_PR_CHECKPOINT_EVERY overrides with an explicit positive
+    integer cadence ("auto" or unset = the selector); anything else
+    fails loudly here rather than silently running the wrong plan
+    (round-8 ADVICE)."""
     import os
 
-    k = int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "1"))
+    raw = os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "auto")
+    if raw == "auto":
+        k = None
+    else:
+        try:
+            k = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_PR_CHECKPOINT_EVERY must be 'auto' or a "
+                f"positive integer; got {raw!r}"
+            ) from None
+        if k < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_PR_CHECKPOINT_EVERY must be >= 1; got {k}"
+            )
     return pagerank(_user_edges(spark, sf_dir), iterations=5, checkpoint_every=k)
 
 

@@ -349,9 +349,10 @@ def test_span_dedup_cap_routing_is_noop(spark):
     never the OUTPUT — pinned on a corpus with a genuinely hot repeated
     span so the hot path actually executes (cap=2 < its frequency).
     The cap only exists on the window strategy (the join strategy is
-    skew-immune by construction), so both sides pin window mode —
-    under the round-8 join default this test would otherwise compare
-    the join path to itself."""
+    skew-immune by construction), so both sides pin window mode
+    explicitly — under the round-9 "auto" default (which resolves to
+    window at this tiny scale, but is policy, not a pin) the test
+    could otherwise silently compare some other path to itself."""
     from assignment_2_dataengineering_spark.operators.dedup import span_dedup
 
     docs = _span_hot_corpus(spark)
@@ -371,10 +372,13 @@ def test_span_dedup_cap_routing_is_noop(spark):
 
 
 def test_span_dedup_join_and_window_strategies_agree(spark, sf_dir):
-    """Round-8 strategy change: the sort-free aggregate+shuffle-hash-join
-    first-occurrence (the new default) must be value-identical to the
+    """The sort-free aggregate+shuffle-hash-join first-occurrence (the
+    round-8 alternative, which the round-9 "auto" default selects above
+    SPAN_AUTO_JOIN_MIN_BYTES) must be value-identical to the
     min-over-window form — on the hot-span corpus (where doc 3 empties
-    entirely) AND on the real documents table."""
+    entirely) AND on the real documents table. Both strategies are
+    pinned explicitly here; "auto" only ever picks between these two,
+    so this equivalence covers every selector outcome."""
     from assignment_2_dataengineering_spark.operators.dedup import span_dedup
 
     for docs in (
@@ -390,3 +394,36 @@ def test_span_dedup_join_and_window_strategies_agree(spark, sf_dir):
             for r in span_dedup(docs, n=10, first_occurrence="window").collect()
         }
         assert join_out == win_out
+
+
+def test_span_dedup_rejects_unknown_strategy(spark):
+    """Round-8 ADVICE: a typo'd SPARK_GRAFT_SPAN_FIRST_OCC used to fall
+    through to the window path and silently benchmark the wrong plan."""
+    import pytest
+
+    from assignment_2_dataengineering_spark.operators.dedup import span_dedup
+
+    docs = _span_hot_corpus(spark)
+    with pytest.raises(ValueError, match="first_occurrence"):
+        span_dedup(docs, n=10, first_occurrence="Join")
+
+
+def test_span_auto_strategy_policy(spark, sf_dir):
+    """Round-9 scale-aware selection: the pure policy flips at the
+    measured-crossover byte threshold, and the plan-stat probe reads
+    the optimizer estimate without running a job."""
+    from assignment_2_dataengineering_spark.operators.dedup import (
+        SPAN_AUTO_JOIN_MIN_BYTES,
+        _plan_stat_bytes,
+        select_span_strategy,
+    )
+    from assignment_2_dataengineering_spark.sources.tables import load_table
+
+    assert select_span_strategy(SPAN_AUTO_JOIN_MIN_BYTES - 1) == "window"
+    assert select_span_strategy(SPAN_AUTO_JOIN_MIN_BYTES) == "join"
+    # the probe: positive, and far below the threshold at test scale,
+    # so the default resolves to the window plan here
+    est = _plan_stat_bytes(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    assert 0 < est < SPAN_AUTO_JOIN_MIN_BYTES

@@ -319,3 +319,41 @@ def test_two_phase_lead_equals_naive_global_lead(spark, bucket):
             if nxt[2] != cur[2]:
                 want.add((cur[2], nxt[2]))
     assert got == want
+
+
+def test_pagerank_rejects_bad_cadence(spark):
+    """Round-8 ADVICE: non-positive / non-int cadences must fail loudly
+    instead of being silently clamped."""
+    import pytest
+
+    from assignment_2_dataengineering_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, iterations=1, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, iterations=1, checkpoint_every="2")
+
+
+def test_pagerank_cadence_policy_and_env_override(spark, monkeypatch):
+    """Round-9 scale-aware selection: the pure policy flips at the
+    measured edge-count crossover; q_pagerank's env override rejects
+    malformed values loudly (round-8 ADVICE) and accepts 'auto'."""
+    import pytest
+
+    from assignment_2_dataengineering_spark.operators.graph import (
+        PR_CADENCE_AUTO_MIN_EDGES,
+        select_checkpoint_cadence,
+    )
+    from assignment_2_dataengineering_spark.plans.registry import get_spec
+
+    assert select_checkpoint_cadence(PR_CADENCE_AUTO_MIN_EDGES - 1) == 1
+    assert select_checkpoint_cadence(PR_CADENCE_AUTO_MIN_EDGES) == 2
+
+    q = get_spec("q_pagerank").fn
+    monkeypatch.setenv("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "nope")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_PR_CHECKPOINT_EVERY"):
+        q(spark, "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "0")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_PR_CHECKPOINT_EVERY"):
+        q(spark, "/root/testdata/sf0.001")
