@@ -427,3 +427,37 @@ def test_span_auto_strategy_policy(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     assert 0 < est < SPAN_AUTO_JOIN_MIN_BYTES
+
+
+def test_shingle_index_hashed_and_exact_keys_agree(spark, sf_dir):
+    """Round-9 key-width policy on the inverted index: the default
+    8-byte xxhash64 shingle keys must yield EXACTLY the same Jaccard
+    and containment pairs as raw-string keys (absent a 64-bit
+    collision, which the sf-tier corpora are ~1e-10 away from) — the
+    same hashed-vs-exact pin boilerplate scoring got in round 8."""
+    docs = load_table(spark, sf_dir, "documents")
+    for fn, kw in (
+        (DD.ngram_jaccard_pairs, {"threshold": 0.3}),
+        (DD.containment_pairs, {"threshold": 0.5}),
+    ):
+        hashed = {tuple(r) for r in fn(docs, **kw).collect()}
+        exact = {tuple(r) for r in fn(docs, exact_keys=True, **kw).collect()}
+        assert hashed == exact
+        assert hashed  # non-degenerate on the sf0.001 corpus
+
+
+def test_shingle_index_key_is_8_bytes_by_default(spark):
+    """The index's shuffle/self-join key must stay a LongType (the whole
+    point of the policy); exact_keys=True keeps the string."""
+    from pyspark.sql.types import LongType, StringType
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    assert isinstance(
+        DD.shingle_index(docs).schema["shingle"].dataType, LongType
+    )
+    assert isinstance(
+        DD.shingle_index(docs, exact_keys=True).schema["shingle"].dataType,
+        StringType,
+    )
