@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Key-width A/B for the inverted shingle index (round-9, round-8 judge
+item #3): shingle_index now keys on xxhash64(shingle) by default instead
+of the raw ~20-byte 3-gram string — the same shuffle-key class that
+measured 2-3x at sf100 on boilerplate and decontamination. This script
+times the two consumers (exact n-gram Jaccard and containment pairs)
+under both key policies in FRESH JVMs (page cache primed by the parent,
+warm="scale" min-of-two discipline), plus the bare index build, so the
+win is attributed to the index shuffle/self-join and not to the pair
+aggregate downstream.
+
+Stages:
+  index_hash / index_exact - shingle_index build + noop write
+  jacc_hash  / jacc_exact  - ngram_jaccard_pairs (threshold 0.3)
+  cont_hash  / cont_exact  - containment_pairs  (threshold 0.5)
+
+Usage: python scripts/profile_shingle.py [SF_DIR] [stage ...]
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STAGES = (
+    "index_hash", "index_exact",
+    "jacc_hash", "jacc_exact",
+    "cont_hash", "cont_exact",
+)
+
+
+def _child(stage: str, sf_dir: str) -> None:
+    from assignment_2_dataengineering_spark.operators import dedup as DD
+    from assignment_2_dataengineering_spark.session import get_spark
+
+    spark = get_spark(app_name=f"profile-shingle-{stage}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = stage.endswith("_exact")
+
+    def build():
+        if stage.startswith("index"):
+            return DD.shingle_index(docs, exact_keys=exact)
+        if stage.startswith("jacc"):
+            return DD.ngram_jaccard_pairs(docs, threshold=0.3, exact_keys=exact)
+        return DD.containment_pairs(docs, threshold=0.5, exact_keys=exact)
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    first = _run()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    repeat = _run()
+    print(f"STAGE={stage} first={first:.2f} repeat={repeat:.2f} "
+          f"min={min(first, repeat):.2f}", flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    if sys.argv[1:2] == ["--child"]:
+        _child(sys.argv[2], sys.argv[3])
+        return
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.benchdata/sf100"
+    stages = sys.argv[2:] or list(STAGES)
+    from bench import prime_page_cache
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "96g")
+    env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+    import signal
+
+    for stage in stages:
+        prime_page_cache(sf_dir)
+        # own process group + killpg on timeout — the bench.py child
+        # discipline; a hung sf100 self-join must not wedge the sweep
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", stage, sf_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, start_new_session=True,
+        )
+        try:
+            stdout, _ = proc.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            print(f"STAGE={stage} TIMEOUT>1800s", flush=True)
+            continue
+        got = False
+        for line in stdout.splitlines():
+            if line.startswith("STAGE="):
+                print(line, flush=True)
+                got = True
+        if not got:
+            print(f"STAGE={stage} FAILED rc={proc.returncode}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
