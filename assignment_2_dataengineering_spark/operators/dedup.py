@@ -634,13 +634,14 @@ def hamming_pairs64(
 # but at sf100 draws a 44-135 s sort-JIT lottery that the sort-free
 # join form collapses to a stable 75-79 s. The selector reads the
 # OPTIMIZER'S OWN size estimate for the document scan (file-size-based
-# for parquet relations — no job, no collect, cluster-safe) and flips
-# to the join form above the midpoint of the measured decades:
-# sf10 documents scan ≈ 1.0e9 plan-stat bytes (window wins), sf100
-# ≈ 1.0e11 (join wins) → threshold 1e10, the geometric mean, an order
-# of magnitude from both measured points. Estimated occurrence rows
-# (Σ tokens ≈ plan bytes / ~7 B/token) cross ~1.4e9 at the threshold.
-SPAN_AUTO_JOIN_MIN_BYTES = 10**10
+# for parquet relations, scaled by the Project's column-width ratio —
+# no job, no collect, cluster-safe) and flips to the join form above
+# the midpoint of the measured decades. Measured calibration (round 9,
+# scripts/r9_measure.py phase 0): the (doc_id, text) scan reads
+# 3.68e7 plan-stat bytes at sf10 (window wins) and 4.10e8 at sf100
+# (join wins) → threshold 1.2e8, the geometric mean, ~3.3x from both
+# measured points.
+SPAN_AUTO_JOIN_MIN_BYTES = 120_000_000
 
 
 def _plan_stat_bytes(df: DataFrame) -> int:

@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 # materialized for free, because `e` is persisted and the count is the
 # first action that warms that cache (work iteration 1 was about to do
 # anyway) — and flips to k=2 at the geometric mean of the measured
-# decades: sf10 ≈ 9.7e6 distinct edges (k=1 wins), sf100 ≈ 9.5e7 (k=2
-# wins) → threshold 3e7, half an order of magnitude from both points.
-PR_CADENCE_AUTO_MIN_EDGES = 3 * 10**7
+# decades. Measured calibration (round 9, scripts/r9_measure.py phase
+# 0): the interaction graph holds 246,386 distinct edges at sf10 (k=1
+# wins) and 1,596,386 at sf100 (k=2 wins) → threshold 6.3e5, ~2.6x
+# from both points (the edge count grows sub-linearly in events — the
+# user-pair domain saturates — so the decades sit closer together
+# than the row counts do).
+PR_CADENCE_AUTO_MIN_EDGES = 630_000
 
 
 def select_checkpoint_cadence(n_edges: int) -> int:
