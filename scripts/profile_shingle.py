@@ -10,9 +10,15 @@ win is attributed to the index shuffle/self-join and not to the pair
 aggregate downstream.
 
 Stages:
-  index_hash / index_exact - shingle_index build + noop write
-  jacc_hash  / jacc_exact  - ngram_jaccard_pairs (threshold 0.3)
-  cont_hash  / cont_exact  - containment_pairs  (threshold 0.5)
+  index_hash    / index_exact    - shingle_index build + noop write
+  jacc_hash     / jacc_exact     - ngram_jaccard_pairs (threshold 0.3)
+  cont_hash     / cont_exact     - containment_pairs  (threshold 0.5)
+  jacc_cap_hash / jacc_cap_exact - ngram_jaccard_pairs with the
+        max_doc_freq=1000 fan-out guard — the configuration a 100 TB
+        run actually uses (uncapped Σdf² grows superlinearly in the
+        copy count; at sf100 the uncapped pair join dwarfs the index
+        term under BOTH key policies, so the capped form is where the
+        key-width A/B is readable)
 
 Usage: python scripts/profile_shingle.py [SF_DIR] [stage ...]
 """
@@ -32,6 +38,11 @@ STAGES = (
     "cont_hash", "cont_exact",
 )
 
+SF100_STAGES = (
+    "index_hash", "index_exact",
+    "jacc_cap_hash", "jacc_cap_exact",
+)
+
 
 def _child(stage: str, sf_dir: str) -> None:
     from assignment_2_dataengineering_spark.operators import dedup as DD
@@ -47,6 +58,10 @@ def _child(stage: str, sf_dir: str) -> None:
     def build():
         if stage.startswith("index"):
             return DD.shingle_index(docs, exact_keys=exact)
+        if stage.startswith("jacc_cap"):
+            return DD.ngram_jaccard_pairs(
+                docs, threshold=0.3, max_doc_freq=1000, exact_keys=exact
+            )
         if stage.startswith("jacc"):
             return DD.ngram_jaccard_pairs(docs, threshold=0.3, exact_keys=exact)
         return DD.containment_pairs(docs, threshold=0.5, exact_keys=exact)

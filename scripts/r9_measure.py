@@ -81,11 +81,22 @@ def main():
 
     if "1" in phases:
         print("== phase 1: shingle-index key-width A/B", flush=True)
-        for sf_name, sf_dir, sweeps in (("sf10", sf10, 1), ("sf100", sf100, 2)):
+        # sf10 runs the full uncapped consumers; at sf100 the uncapped
+        # pair join's Σdf² fan-out dwarfs the index term under BOTH key
+        # policies (sf10 already reads 76-181 s), so the sf100 A/B uses
+        # the index build plus the capped Jaccard form — the fan-out
+        # guard a 100 TB run uses anyway (see profile_shingle.py).
+        from scripts.profile_shingle import SF100_STAGES
+
+        for sf_name, sf_dir, sweeps, stages in (
+            ("sf10", sf10, 1, ()),
+            ("sf100", sf100, 2, SF100_STAGES),
+        ):
             for sweep in range(1, sweeps + 1):
                 out = subprocess.run(
                     [sys.executable,
-                     os.path.join(REPO, "scripts/profile_shingle.py"), sf_dir],
+                     os.path.join(REPO, "scripts/profile_shingle.py"),
+                     sf_dir, *stages],
                     env=ENV, stdout=subprocess.PIPE,
                     stderr=subprocess.DEVNULL, text=True)
                 for line in out.stdout.splitlines():
