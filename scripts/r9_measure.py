@@ -48,24 +48,36 @@ def child_bench(name, sf_dir, extra_env=None):
 
 
 def phase0_stats(sf10, sf100):
-    from assignment_2_dataengineering_spark.operators.dedup import (
-        _plan_stat_bytes,
-    )
-    from assignment_2_dataengineering_spark.plans.queries_graph import (
-        _user_edges,
-    )
-    from assignment_2_dataengineering_spark.session import get_spark
-    from assignment_2_dataengineering_spark.sources.tables import load_table
-
-    spark = get_spark(app_name="r9-calibration")
-    spark.sparkContext.setLogLevel("ERROR")
-    for name, d in (("sf10", sf10), ("sf100", sf100)):
-        docs = load_table(spark, d, "documents").select("doc_id", "text")
-        print(f"calib {name} docs_plan_bytes={_plan_stat_bytes(docs)}",
-              flush=True)
-        print(f"calib {name} distinct_edges={_user_edges(spark, d).count()}",
-              flush=True)
-    spark.stop()
+    """Run the calibration reads in a SUBPROCESS: spark.stop() does not
+    end the py4j JVM — it lives until the owning python exits, and the
+    round-9 run measured the damage of letting it linger under the
+    later phases (a 9.4 GB resident JVM quadrupled sweep-1's sf100
+    index readings vs the clean sweep 2; see SCALE.md §6l)."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from assignment_2_dataengineering_spark.operators.dedup import "
+        "_plan_stat_bytes\n"
+        "from assignment_2_dataengineering_spark.plans.queries_graph import "
+        "_user_edges\n"
+        "from assignment_2_dataengineering_spark.session import get_spark\n"
+        "from assignment_2_dataengineering_spark.sources.tables import "
+        "load_table\n"
+        "spark = get_spark(app_name='r9-calibration')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "for name, d in (('sf10', %r), ('sf100', %r)):\n"
+        "    docs = load_table(spark, d, 'documents')"
+        ".select('doc_id', 'text')\n"
+        "    print(f'calib {name} docs_plan_bytes="
+        "{_plan_stat_bytes(docs)}', flush=True)\n"
+        "    print(f'calib {name} distinct_edges="
+        "{_user_edges(spark, d).count()}', flush=True)\n"
+    ) % (REPO, sf10, sf100)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=ENV,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("calib "):
+            print(line, flush=True)
 
 
 def main():
