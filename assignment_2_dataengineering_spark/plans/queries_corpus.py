@@ -895,8 +895,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     First-occurrence strategy is SCALE-AWARE by default (round-9):
     "auto" picks the measured sf-tier winner from the optimizer's size
     estimate of the document scan (operators/dedup.select_span_strategy
-    — window below 1e10 plan-stat bytes, the sort-free join form at or
-    above; crossover in SCALE.md §6k/§6l). SPARK_GRAFT_SPAN_FIRST_OCC
+    — window below SPAN_AUTO_JOIN_MIN_BYTES = 120 MB of plan-stat
+    bytes, the sort-free join form at or above; crossover in SCALE.md
+    §6k/§6l). SPARK_GRAFT_SPAN_FIRST_OCC
     overrides with an explicit "window"/"join"; span_dedup rejects
     anything else loudly (round-8 ADVICE) instead of silently falling
     through to the window plan."""

@@ -114,8 +114,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Checkpoint cadence is SCALE-AWARE by default (round-9): the
     operator picks the measured sf-tier winner from the distinct edge
-    count (operators/graph.select_checkpoint_cadence — k=1 below 3e7
-    edges, k=2 at or above, crossover in SCALE.md §6l).
+    count (operators/graph.select_checkpoint_cadence — k=1 below
+    PR_CADENCE_AUTO_MIN_EDGES = 630_000 edges, k=2 at or above, so
+    sf10's 1.7e5-edge graph gets k=1 and sf100's 1.6e6 gets k=2;
+    crossover in SCALE.md §6l).
     SPARK_GRAFT_PR_CHECKPOINT_EVERY overrides with an explicit positive
     integer cadence ("auto" or unset = the selector); anything else
     fails loudly here rather than silently running the wrong plan
