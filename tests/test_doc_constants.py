@@ -30,6 +30,38 @@ def test_pagerank_docstring_quotes_the_shipped_cadence_threshold():
     assert "3e7" not in doc
 
 
+def test_readme_quotes_the_shipped_cadence_threshold():
+    """Round-10: README.md:138 carried the same stale 3e7 figure the r9
+    docstring fix missed. Pin the README's env-knob table to the
+    constant the same way the docstrings are pinned."""
+    import os
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        text = f.read()
+    assert "3e7" not in text, "README env-knob table drifted from the constant"
+    assert f"{PR_CADENCE_AUTO_MIN_EDGES:_}" in text, (
+        "README no longer quotes PR_CADENCE_AUTO_MIN_EDGES "
+        f"({PR_CADENCE_AUTO_MIN_EDGES:_})"
+    )
+
+
+def test_readme_quotes_the_live_registry_counts():
+    """The README's registry summary ('N registered queries, M
+    oracle-paired') must track the live registry — it was two rounds
+    stale (218/204 vs 220/206) when this test was added."""
+    import os
+
+    from assignment_2_dataengineering_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    n_oracle = sum(1 for s in specs.values() if s.oracle)
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        text = f.read()
+    assert f"{len(specs)} registered queries, {n_oracle} oracle-paired" in text
+
+
 def test_span_dedup_docstring_quotes_the_shipped_size_threshold():
     doc = all_specs()["q_span_dedup"].fn.__doc__
     assert SPAN_AUTO_JOIN_MIN_BYTES == 120_000_000
