@@ -146,7 +146,16 @@ def main() -> None:
     for t, keys in SHIFT_COLS.items():
         if only is not None and t not in only:
             continue
-        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        # The sf0.1 source tables are single-file/single-row-group, so
+        # without this spread the K-fold crossJoin expansion runs as ONE
+        # map task — at K=1000 that is one core pushing the full 15+ GB
+        # expanded table into the repartition shuffle (~40 min for
+        # orders, hours for lineitem, and long enough for local-mode
+        # heartbeat expiry to kill the context, observed twice).
+        # Spreading the tiny base FIRST parallelizes the expansion 32x;
+        # every generated value is a deterministic function of row
+        # columns + __copy, so the output content is partition-invariant.
+        base = spark.read.parquet(f"{SRC}/{t}.parquet").repartition(32)
         copies = spark.range(k).select(F.col("id").alias("__copy"))
         df = base.crossJoin(copies)
         for c in keys:
