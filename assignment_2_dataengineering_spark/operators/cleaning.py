@@ -68,12 +68,20 @@ def boilerplate_scores(
     budget is unacceptable; the oracle groups by raw string and stays
     hash-green for both key widths at every test SF.
 
-    Plan honesty: the per-doc gram array is built twice (the
-    doc-frequency branch and the scoring branch) because Catalyst does
-    not share common subtrees — the text is scanned and shingled twice.
-    A production run at 100 TB should `.persist(DISK_ONLY)` the gram
-    arrays between the two passes (or write them once and read back);
-    the operator stays declarative here so it composes as a pure plan.
+    Round-10 (guide §2.4: remove shuffled/recomputed passes outright):
+    the per-doc gram-KEY table — (id, n_grams, hashed-gram array), 8
+    bytes per gram plus the id — is eagerly localCheckpointed between
+    the two consumers. Catalyst does not share common subtrees, so the
+    previous pure-plan form scanned and shingled the text TWICE (once
+    under the doc-frequency aggregate, once in the scoring branch);
+    materializing the key table makes shingling a once-per-corpus cost,
+    which is exactly the "persist the gram arrays between the two
+    passes" production note the round-8 docstring carried — now the
+    shipped shape rather than advice (sf0.1: 3.08 → 1.41 s; the before/
+    after plans in plans/r10/ show the documents scan count drop 6 → 3
+    and the second shingle pipeline replaced by a checkpoint scan).
+    The gram STRINGS never materialize — only their 8-byte keys do, so
+    the checkpoint holds ~1/3 the bytes of the raw text it replaces.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array(TX.tokens_ws(F.col(text_col)))).alias("__w")
@@ -93,8 +101,14 @@ def boilerplate_scores(
         )
     else:
         gram_arr = gram_arr.withColumn("__gk", F.col("__g"))
+    # one shingling pass for both consumers (see docstring): n_grams is
+    # size(__g) == size(__gk) (array_distinct upstream), the strings
+    # are dropped before the checkpoint
+    gram_keys = gram_arr.select(
+        F.col(id_col), F.size("__g").alias("__n"), "__gk"
+    ).localCheckpoint()
     dfreq = (
-        gram_arr.select(F.explode("__gk").alias("gram"))
+        gram_keys.select(F.explode("__gk").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -112,11 +126,11 @@ def boilerplate_scores(
         .agg(F.collect_list("gram").alias("__common"))
     )
     return (
-        gram_arr.filter(F.size("__g") > 0)
+        gram_keys.filter(F.col("__n") > 0)
         .crossJoin(F.broadcast(common_arr))
         .select(
             F.col(id_col),
-            F.size("__g").cast("long").alias("n_grams"),
+            F.col("__n").cast("long").alias("n_grams"),
             F.size(F.array_intersect("__gk", "__common"))
             .cast("long")
             .alias("n_common"),

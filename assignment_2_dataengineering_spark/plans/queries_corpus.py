@@ -1065,9 +1065,19 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import cap_per_group, split_label
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # The capped table is EAGERLY localCheckpointed (round-10, guide
+    # §2.4): span_dedup fans its input into the hot-shingle aggregate,
+    # the hot/cold routing probes, and the cover-removal join, and the
+    # gate join below re-reads it — left lazy, the cap stage's
+    # row_number window re-planned ~6x (38 Window nodes in
+    # plans/r10/q_corpus_pipeline_v2_before.txt). One small
+    # materialization (k·|sources| rows) feeds all consumers
+    # (2.15 -> 1.91 s at sf0.1, interleaved A/B). localCheckpoint
+    # preserves the optimizer's sizeInBytes estimate, so span_dedup's
+    # auto strategy selector still sees the scan-derived statistic.
     capped = cap_per_group(docs, "source", k=20, id_col="doc_id").select(
         "doc_id", "source", "text"
-    )
+    ).localCheckpoint()
     # max_shingle_freq=64 is the production df-cap guard (hot
     # boilerplate shingles route around the per-key window); output is
     # provably identical to uncapped — the UNCAPPED oracle below stays

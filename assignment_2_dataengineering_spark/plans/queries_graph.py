@@ -254,7 +254,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The wedge DENOMINATOR never enumerates at all: Σ d(d−1)/2 from the
     degree table. The oracle brute-forces the canonical a<b<c 3-way
     join — orientation changes the enumeration order, not the count,
-    so the comparison is hash-exact."""
+    so the comparison is hash-exact.
+
+    The undirected edge table and the oriented edge table are EAGERLY
+    localCheckpointed (round-10, guide §2.4/§3.3): `ud` fans out to the
+    degree aggregate and the orientation join, and `o` feeds all three
+    self-join branches — left inlined, the whole _user_edges derivation
+    (events scan + two window passes + distinct) was planned ~34 times
+    (206 Exchange / 68 scan nodes in the before plan, plans/r10/), and
+    exchange reuse cannot fire across the alias-renamed branches. Two
+    |E|-row materializations replace that: the after plan's triangle
+    join reads two checkpointed RDD scans (3.55 → 2.26 s at sf0.1;
+    same pattern as pagerank's per-superstep checkpoint, and
+    executor-loss tolerance is the documented price)."""
     ud = (
         _user_edges(spark, sf_dir)
         .select(
@@ -262,6 +274,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         ud.select(F.col("a").alias("node"))
@@ -282,7 +295,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
-    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v")).localCheckpoint()
     e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
