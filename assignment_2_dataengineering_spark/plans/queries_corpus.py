@@ -1151,71 +1151,73 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ANN tier (reference has no search surface; engine extension per
     the brief, companion to q_tfidf).
 
-    Scale shape: the term filter lands BEFORE the tf aggregate, so the
-    per-(doc,term) shuffle carries only rows containing query terms —
-    at 100 TB the tf/df tables are |hits|-sized, not |tokens|-sized.
-    Document length and corpus avgdl come from a separate full-scan
-    aggregate whose output is |docs| + one broadcast scalar (exact
-    integer sums divided once, so both engines see bit-identical
-    doubles). Per-term scores are summed in FIXED textual order via
-    conditional aggregation (each term contributes exactly one value
-    per doc, `min` collapses it) — never a shuffle-order-dependent
-    float sum — making the 4dp round + (score, doc_id) top-k cut
-    deterministic cross-engine. Final top-k is TakeOrdered, not a
-    single-partition global sort."""
+    Scale shape (round-10 single-pass rewrite, guide §2.3 "aggregate
+    before you shuffle" / §2.4 "remove shuffles outright"): the corpus
+    is tokenized ONCE and a single doc-grain aggregate computes document
+    length AND the fixed query's per-term frequencies as conditional
+    counts in the same map-side-combined shuffle — the previous shape
+    tokenized the corpus twice (the dl branch and the term-filtered tf
+    branch) and re-joined the two aggregates with a pinned shuffle-hash
+    join, so the rewrite deletes both the second full tokenize pass and
+    the tf⋈dl join (and with it the AQE build-side flip that join's
+    round-8 hint guarded against — there is nothing left to flip). The
+    shuffle carries one (doc_id, dl, tf×|terms|) row per doc per map
+    partition; n/avgdl/df reduce to ONE broadcast scalar row (df_t =
+    count of docs with tf_t > 0 — exact integer-valued doubles, so
+    order-independent). Per-term scores are summed in FIXED textual term
+    order from the wide columns — never a shuffle-order-dependent float
+    sum — making the 4dp round + (score, doc_id) top-k cut
+    deterministic cross-engine (exact-match pinned vs the pre-rewrite
+    shape at sf0.001/0.01/0.1; 0.96 → 0.74 s at sf0.1, interleaved
+    A/B). Final top-k is TakeOrdered, not a single-partition global
+    sort."""
     d = T(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = dl.agg(
+    nt = len(_BM25_TERMS)
+    percol = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count(F.when(F.col("token") == t, 1)).cast("double").alias(f"__tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = percol.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0.0, 1)).cast("double").alias(f"__df{i}")
+            for i in range(nt)
+        ],
     )
-    tf = (
-        toks.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    # The tf⋈dl join is pinned SHUFFLE_HASH with build=tf (round-8 AQE
-    # build-side audit): tf is |hits|-sized by construction (the term
-    # filter runs BELOW the aggregate) but UNBOUNDED for stopword-class
-    # terms, and dl is |docs|-sized — at 100 TB neither side is safely
-    # broadcastable, and unhinted, AQE's runtime re-plan could broadcast
-    # dl outright (the q_tfidf flip class, SCALE.md §6j). The hint keeps
-    # it distributed: dl arrives already hash-partitioned by doc_id from
-    # its own groupBy (exchange reuse — zero extra dl shuffles) and the
-    # only added exchange is the |hits|-sized tf side.
-    ts = (
-        tf.join(F.broadcast(dfreq), "token")
-        .hint("shuffle_hash")  # consumed by the NEXT join: build=hits side
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "token",
-            (
-                F.log(1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf")
-                * (_BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
-                )
-            ).alias("ts"),
+    any_hit = None
+    for i in range(nt):
+        c = F.col(f"__tf{i}") > 0.0
+        any_hit = c if any_hit is None else (any_hit | c)
+    scored = percol.filter(any_hit).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        # identical float expression tree per term as the pre-r10
+        # (doc,token)-row form — only the column sources changed
+        return (
+            F.log(
+                1.0
+                + (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+            )
+            * F.col(f"__tf{i}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"__tf{i}")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
+            )
         )
-    )
-    term_col = [
-        F.coalesce(
-            F.min(F.when(F.col("token") == t, F.col("ts"))), F.lit(0.0)
-        )
-        for t in _BM25_TERMS
-    ]
-    per_doc = ts.groupBy("doc_id").agg(
-        (term_col[0] + term_col[1] + term_col[2]).alias("score")
-    )
+
+    score = None
+    for i in range(nt):
+        term = F.when(F.col(f"__tf{i}") > 0.0, term_score(i)).otherwise(F.lit(0.0))
+        score = term if score is None else (score + term)
     return (
-        per_doc.select("doc_id", F.round("score", 4).alias("bm25"))
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )

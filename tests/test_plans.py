@@ -165,14 +165,19 @@ def test_mad_broadcasts_median_table(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
-    """q_bm25: df + corpus stats ride broadcast; the top-k cut is
-    TakeOrderedAndProject, never a global Sort; the term filter lands
-    before the tf aggregate (visible as a Filter containing the IN
-    list below the first HashAggregate)."""
+    """q_bm25 (round-10 single-pass shape): ONE doc-grain aggregate
+    (dl + per-term tf in the same shuffle — exactly one hash-partition
+    Exchange), the n/avgdl/df scalar row rides a broadcast nested-loop
+    cross join, and the top-k cut is TakeOrderedAndProject, never a
+    global Sort."""
     plan = _physical(spark, "q_bm25", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    # the rewrite's core claim: no joins between row tables remain
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    # one doc-grain aggregate exchange at most (zero when the test scan
+    # is a single split, whose partitioning satisfies any distribution)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
     # no global Sort operator (TakeOrdered subsumes the ordering)
     assert not re.search(r"\bSort \[", plan.split("TakeOrderedAndProject")[0]), plan
 
@@ -557,11 +562,13 @@ def test_count_table_joins_broadcast_the_count_side(spark, sf_dir):
 # at least one join in the plan, plus a blocklist of column sets that must
 # NEVER appear under a BroadcastExchange.
 AUDITED_BUILD_SIDES = {
-    # tf (|hits|-sized, term-filtered below the aggregate) builds a
-    # SHUFFLED hash join against |docs|-sized dl: neither side is safely
-    # broadcastable at 100 TB, and dl reuses its own groupBy partitioning
+    # Round-10: the tf⋈dl join this entry used to pin no longer exists —
+    # the single-pass rewrite folds dl and the per-term tfs into ONE
+    # doc-grain aggregate (see q_bm25's docstring), so there is no join
+    # whose build side AQE could flip. The blocklist stays: the
+    # |docs|-sized per-doc table must never ride a broadcast.
     "q_bm25": {
-        "require": [("ShuffledHashJoin", {"doc_id", "token", "tf", "df"})],
+        "require": [],
         "never_broadcast": [{"doc_id", "dl"}],
     },
     # the token count table (tfidf's df-side class) is the pinned build
