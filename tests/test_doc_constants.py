@@ -62,6 +62,31 @@ def test_readme_quotes_the_live_registry_counts():
     assert f"{len(specs)} registered queries, {n_oracle} oracle-paired" in text
 
 
+def test_graph_bucket_docstring_and_readme_quote_the_threshold():
+    """Round-10: the graph-bucket selector joins the pinned-constant
+    regime on the day it ships, so it can never drift the way the r9
+    selectors' docstrings did."""
+    import os
+
+    from assignment_2_dataengineering_spark.plans.queries_graph import (
+        GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES,
+        _user_edges,
+    )
+
+    assert GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES == 9_600_000_000
+    doc = _user_edges.__doc__
+    assert f"{GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES:_}" in doc, (
+        "_user_edges docstring no longer quotes "
+        f"GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES ({GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES:_})"
+    )
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        text = f.read()
+    assert f"{GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES // 1_000_000_000}" in text and (
+        "GRAPH_BUCKET_AUTO_MINUTE_MIN_BYTES" in text
+    ), "README env-knob table does not reference the bucket selector constant"
+
+
 def test_span_dedup_docstring_quotes_the_shipped_size_threshold():
     doc = all_specs()["q_span_dedup"].fn.__doc__
     assert SPAN_AUTO_JOIN_MIN_BYTES == 120_000_000
