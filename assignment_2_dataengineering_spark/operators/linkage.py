@@ -45,17 +45,34 @@ def fellegi_sunter_pairs(
     with score ≥ threshold. m defaults to 0.9 for every field;
     agreement u is value-specific ((freq(v)/N)², the value the pair
     shares), disagreement u is field-level (Σ freq²/N²) — all from
-    exact integer counts divided once into doubles."""
-    n_df = df.agg(F.count(F.lit(1)).alias("__n"))
+    exact integer counts divided once into doubles.
 
+    Round-10 pass-count fix (guide §2.4/§3.3): each field's value
+    histogram is eagerly localCheckpointed, and both the field-level
+    Σfreq² and the record count N are derived from the (first)
+    histogram instead of their own aggregates — Σ freq-per-value ≡
+    count(*) exactly (null values form their own group). The executed
+    plan previously re-scanned the input for every histogram, every
+    field-u aggregate, and the bare count: 2·|fields|+1 fact passes
+    for statistics one histogram-sized table already contains. The
+    input is now scanned once per field for the histograms plus twice
+    for the blocked self-join — the floor for this estimator."""
     freq_dfs = {}
     field_u_dfs = []
+    first_freq = None
     for c in compare_cols:
-        freq = df.groupBy(c).agg(F.count(F.lit(1)).alias(f"__freq_{c}"))
+        freq = df.groupBy(c).agg(
+            F.count(F.lit(1)).alias(f"__freq_{c}")
+        ).localCheckpoint()
+        if first_freq is None:
+            first_freq = (freq, c)
         freq_dfs[c] = freq.select(F.col(c).alias(f"__val_{c}"), f"__freq_{c}")
         field_u_dfs.append(
             freq.agg(F.sum(F.col(f"__freq_{c}") * F.col(f"__freq_{c}")).alias(f"__sq_{c}"))
         )
+    n_df = first_freq[0].agg(
+        F.sum(f"__freq_{first_freq[1]}").alias("__n")
+    ) if first_freq is not None else df.agg(F.count(F.lit(1)).alias("__n"))
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"), *compare_cols

@@ -732,10 +732,18 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by a constant, never a self-join of the fact
     table on user_id); supports broadcast back onto the pair table.
     The oracle is the literal distinct self-join, feasible only at
-    oracle scale — the collect_set form is the 100 TB plan."""
+    oracle scale — the collect_set form is the 100 TB plan.
+
+    The distinct (user, type) table is eagerly localCheckpointed
+    (round-10, guide §2.4/§3.3): its three consumers (supports, user
+    sets, user count) otherwise each re-plan the events scan + the
+    distinct exchange — 3 fact-table passes for a table bounded by
+    |users| × |event-type domain|. n_users moves from the raw events
+    scan to the checkpointed distinct table: the same set of non-null
+    user_ids, so the count is value-identical."""
     ev = load_table(spark, sf_dir, "events")
-    ue = ev.select("user_id", "event_type").distinct()
-    n = ev.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
+    ue = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    n = ue.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
     supp = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
     sets = ue.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
@@ -977,7 +985,17 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back, per-anchor top-k by (rounded jaccard, user_b). At
     100 TB the anchor set bounds the probe side and the df-cap /
     MinHash tiers (q_dedup_ngram_jaccard, q_dedup_minhash_lsh) are the
-    same machinery applied to user-item sets."""
+    same machinery applied to user-item sets.
+
+    The distinct (user, item) table is eagerly localCheckpointed
+    (round-10, guide §2.4/§3.3): its four consumers (set sizes twice
+    through the alias-renamed sa/sb marginals, the anchor slice, the
+    probe side) otherwise each re-plan the events scan, the JSON
+    extraction, AND the distinct exchange — the executed plan showed
+    4 full scan+parse+shuffle passes for one logical table. One
+    materialization of the (8+4)-byte pair rows replaces three
+    re-computations; at 100 TB this is the guide-§8 decision-pass
+    shape (parse the payload once, reuse the small proxy)."""
     ev = load_table(spark, sf_dir, "events")
     items = (
         ev.filter(F.col("props").isNotNull())
@@ -986,6 +1004,7 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("item"),
         )
         .distinct()
+        .localCheckpoint()
     )
     sizes = items.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n")
@@ -1225,11 +1244,19 @@ def q_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     language profile diverges from the corpus). One (source, lang)
     contingency aggregate; marginals broadcast back; the statistic is
     one arithmetic pass over ≤ |sources|×|langs| cells — nothing here
-    scales with rows after the first aggregate."""
+    scales with rows after the first aggregate.
+
+    The contingency table is eagerly localCheckpointed (round-10,
+    guide §2.4/§3.3): all four consumers (row marginal, column
+    marginal, grand total, cells) otherwise re-plan the documents
+    scan + aggregate, and the branches differ canonically (different
+    null filters pushed down by the joins) so runtime exchange reuse
+    cannot dedup them — the executed plan showed 4 full scans for a
+    ≤|sources|×|langs|-cell table."""
     d = load_table(spark, sf_dir, "documents")
     obs = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("double").alias("o")
-    )
+    ).localCheckpoint()
     src = obs.groupBy("source").agg(F.sum("o").alias("n_src"))
     lg = obs.groupBy("lang").agg(F.sum("o").alias("n_lang"))
     tot = obs.agg(F.sum("o").alias("__n"))
@@ -1436,9 +1463,21 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PSI < 0.1 stable, > 0.25 drifted). Exact interpolated quartiles on
     the reference define the bins, so boundary membership is
     deterministic on identical doubles; shares divide exact counts.
-    Two scans + per-type broadcast bounds; the PSI fold runs over
-    |types|×4 cells. The synthetic even/odd split should show ≈0 drift
-    — the value of the query is the machinery being exact."""
+    The PSI fold runs over |types|×4 cells. The synthetic even/odd
+    split should show ≈0 drift — the value of the query is the
+    machinery being exact.
+
+    Round-10 pass-count fix (guide §2.4/§3.3): the executed plan held
+    SIX events scans — the reference-quartile subtree was re-planned
+    inside both slices' binning branches, and each slice scanned twice
+    more because the per-type total was its own aggregate over the
+    binned rows. Now `bounds` is eagerly localCheckpointed (|types|
+    rows), each slice's |types|×4 bin-count cell table is checkpointed
+    off one scan, and the per-type total is derived as Σc over that
+    cell table — the same exact integer count(ref rows of the type),
+    summed instead of re-counted, so shares divide identical doubles.
+    Events is now scanned 3× (quartiles + one per slice), the floor
+    for fixed reference-defined bins."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
@@ -1446,7 +1485,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.25)).alias("q1"),
         F.percentile("value", F.lit(0.50)).alias("q2"),
         F.percentile("value", F.lit(0.75)).alias("q3"),
-    )
+    ).localCheckpoint()
     def binned(df):
         b = (
             F.when(F.col("value") <= F.col("q1"), 0)
@@ -1454,17 +1493,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("value") <= F.col("q3"), 2)
             .otherwise(3)
         )
-        withb = df.join(F.broadcast(bounds), "event_type").select(
-            "event_type", b.alias("bin")
-        )
-        tot = withb.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("double").alias("n")
-        )
-        return (
-            withb.groupBy("event_type", "bin")
+        cells = (
+            df.join(F.broadcast(bounds), "event_type")
+            .select("event_type", b.alias("bin"))
+            .groupBy("event_type", "bin")
             .agg(F.count(F.lit(1)).alias("c"))
-            .join(F.broadcast(tot), "event_type")
-            .select("event_type", "bin", (F.col("c") / F.col("n")).alias("share"))
+            .localCheckpoint()
+        )
+        tot = cells.groupBy("event_type").agg(
+            F.sum("c").cast("double").alias("n")
+        )
+        return cells.join(F.broadcast(tot), "event_type").select(
+            "event_type", "bin", (F.col("c") / F.col("n")).alias("share")
         )
     p = binned(ref).withColumnRenamed("share", "p")
     q = binned(cur).withColumnRenamed("share", "q")
@@ -1751,7 +1791,16 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution (the skew-planning number that decides salting). The
     histograms are two key-count aggregates — each a fraction of the
     join's own shuffle — and the summary is histogram-sized. The
-    capacity-planning probe you run BEFORE committing a 100 TB join."""
+    capacity-planning probe you run BEFORE committing a 100 TB join.
+
+    Round-10 measured non-change: checkpointing the per-key histograms
+    and deriving the totals from them (4 scans → 2) lost the
+    interleaved A/B at both tiers (sf0.1 0.33→0.43 s, sf10 2.94→5.99 s
+    — the worst regression of the round's experiments): the histograms
+    are KEY-grain (|custkeys| rows), so the materialization writes far
+    more bytes than the two scans it saves, and the "extra" count(*)
+    scans are metadata-cheap on parquet (row-group counts, no column
+    read). Left as independent aggregates deliberately."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))

@@ -1423,6 +1423,13 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws(F.col("text")).alias("n_toks"),
         fingerprint(F.col("text")).alias("fp"),
     )
+    # Round-10 measured non-change: checkpointing the lang histogram
+    # and deriving the doc count from it (3 scans → 2) lost the
+    # interleaved A/B at sf0.1 (0.39→0.46 s) and was flat-at-best at
+    # sf10 — the "redundant" count scan is metadata-cheap on parquet
+    # (row-group counts, no column read; column pruning already keeps
+    # the histogram scan lang-only), so the checkpoint job only adds
+    # serialization. Left lazy deliberately.
     n_df = base.agg(F.count(F.lit(1)).alias("n"))
     lang_p = (
         base.groupBy("lang")

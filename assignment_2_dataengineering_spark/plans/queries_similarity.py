@@ -425,7 +425,16 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncation is F.slice (JVM), every tier reuses the broadcast-query
     brute-force plan, and recall is a per-query join-count — the whole
     sweep is |dims| corpus scans, no quadratic blowup. The d=64 row is
-    the self-check (recall 1.0 by construction)."""
+    the self-check (recall 1.0 by construction).
+
+    Round-10 measured non-change: checkpointing the 4×-consumed
+    full-dim reference (corpus scans 10 → 5 in the executed plan) lost
+    the interleaved A/B at both tiers (sf0.1 1.56→1.72 s, sf10
+    4.58→5.21 s) — the redundant reference scans execute as parallel
+    stages inside each tier's job, while the eager checkpoint
+    serializes a reference job in front of the sweep (q_lm_score's
+    materialization mechanism). Left lazy deliberately; measurement in
+    OPTIMIZATION_r10.md."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     full = SIM.brute_force_topk(queries, emb, k=_TOP_K).select("query_id", "match_id")

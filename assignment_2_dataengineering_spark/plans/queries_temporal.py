@@ -288,7 +288,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates a funnel from three independent counts. Three stage
     aggregates, each keyed on user_id so the per-user partitioning is
     reused; stage k joins only stage k−1's survivors (monotonically
-    shrinking). The scalar summary row makes the conversion rates."""
+    shrinking). The scalar summary row makes the conversion rates.
+
+    Round-10 measured non-change (guide §2.4 vs §5): checkpointing the
+    twice-consumed v/c stage tables (events scans 5 → 3) LOST the
+    interleaved A/B at BOTH tiers (sf0.1 0.41→0.54 s, sf10 1.80→2.21 s)
+    — the duplicated subtrees are cheap filtered scans plus user-grain
+    aggregates that execute as parallel stages of one job, while the
+    eager checkpoints serialize them into a job chain (the same
+    mechanism as q_lm_score's materialization A/B). Left lazy
+    deliberately; the measurement is in OPTIMIZATION_r10.md."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -674,7 +683,13 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     latencies are exact epoch-microsecond differences (int64 in both
     engines) divided once into seconds, and percentiles are exact
     interpolated (Spark `percentile` ≡ DuckDB `quantile_cont`). Output
-    is 2 summary rows — everything wide stays cluster-side."""
+    is 2 summary rows — everything wide stays cluster-side.
+
+    Round-10 measured non-change: checkpointing the twice-consumed c
+    stage table lost the interleaved A/B at both tiers (sf0.1
+    0.51→0.60 s, sf10 4.11→4.80 s) for the same job-serialization
+    reason as q_funnel — see that docstring; left lazy
+    deliberately."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")

@@ -106,13 +106,25 @@ def main() -> None:
     env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
     import signal
 
+    import shutil
+    import tempfile
+
     for stage in stages:
         prime_page_cache(sf_dir)
+        # Pin the child's shuffle-spill location (SPARK_LOCAL_DIRS) to
+        # a parent-owned temp dir: a SIGKILLed JVM never runs its
+        # shutdown hooks, and a timed-out sf100 exact-key stage was
+        # measured leaving a 55 GB blockmgr-* dir in /tmp — enough to
+        # fail every later stage on disk space (round-10). The parent
+        # removes the dir whether the child exits, times out, or dies.
+        local_dirs = tempfile.mkdtemp(prefix=f"shingle_{stage}_spill_")
+        child_env = dict(env)
+        child_env["SPARK_LOCAL_DIRS"] = local_dirs
         # own process group + killpg on timeout — the bench.py child
         # discipline; a hung sf100 self-join must not wedge the sweep
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child", stage, sf_dir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            env=child_env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True, start_new_session=True,
         )
         try:
@@ -122,6 +134,9 @@ def main() -> None:
             proc.wait()
             print(f"STAGE={stage} TIMEOUT>1800s", flush=True)
             continue
+        finally:
+            # runs on normal exit AND before the timeout `continue`
+            shutil.rmtree(local_dirs, ignore_errors=True)
         got = False
         for line in stdout.splitlines():
             if line.startswith("STAGE="):

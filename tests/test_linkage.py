@@ -55,3 +55,24 @@ def test_multi_field_score_is_product(spark):
     }
     # (1,2) agree on both fields: two-field score strictly exceeds one-field
     assert both[(1, 2)] > single_f1[(1, 2)] > 1.0
+
+
+def test_n_derived_from_histogram_counts_null_values(spark):
+    """Round-10 internals pin: N is derived as Σ freq over the first
+    compare column's histogram (operators/linkage.py) instead of its
+    own count(*) scan. Null compare values form their own histogram
+    group, so N must still equal the full record count — a regression
+    here silently inflates every u-probability."""
+    rows = [
+        (1, "X", "common"),
+        (2, "X", "common"),
+        (3, "X", None),  # null compare value must still count toward N
+        (4, "X", None),
+        (5, "Y", "rare"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, seg string")
+    out = fellegi_sunter_pairs(df, "id", "blk", ["seg"], threshold=0.0)
+    scores = {(r.id_a, r.id_b): r.score for r in out.collect()}
+    # (1,2) agree on 'common' (freq 2 of N=5): score = m / (freq/N)^2
+    #                                                = 0.9 / (2/5)^2 = 5.625
+    assert abs(scores[(1, 2)] - 5.625) < 1e-9, scores
