@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from .materialize import materialize
 
 
 def boilerplate_scores(
@@ -104,9 +105,9 @@ def boilerplate_scores(
     # one shingling pass for both consumers (see docstring): n_grams is
     # size(__g) == size(__gk) (array_distinct upstream), the strings
     # are dropped before the checkpoint
-    gram_keys = gram_arr.select(
-        F.col(id_col), F.size("__g").alias("__n"), "__gk"
-    ).localCheckpoint()
+    gram_keys = materialize(
+        gram_arr.select(F.col(id_col), F.size("__g").alias("__n"), "__gk")
+    )
     dfreq = (
         gram_keys.select(F.explode("__gk").alias("gram"))
         .groupBy("gram")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators.materialize import materialize
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1075,9 +1076,11 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2.15 -> 1.91 s at sf0.1, interleaved A/B). localCheckpoint
     # preserves the optimizer's sizeInBytes estimate, so span_dedup's
     # auto strategy selector still sees the scan-derived statistic.
-    capped = cap_per_group(docs, "source", k=20, id_col="doc_id").select(
-        "doc_id", "source", "text"
-    ).localCheckpoint()
+    capped = materialize(
+        cap_per_group(docs, "source", k=20, id_col="doc_id").select(
+            "doc_id", "source", "text"
+        )
+    )
     # max_shingle_freq=64 is the production df-cap guard (hot
     # boilerplate shingles route around the per-key window); output is
     # provably identical to uncapped — the UNCAPPED oracle below stays

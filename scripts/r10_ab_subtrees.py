@@ -86,10 +86,21 @@ def main() -> None:
         match = a == b
         print(f"{name} EXACT_MATCH={match} rows={len(a)}/{len(b)}", flush=True)
         if not match:
+            diff_printed = False
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
                     print(f"  first diff row {i}: {x} vs {y}", flush=True)
+                    diff_printed = True
                     break
+            if not diff_printed:
+                # all shared-prefix rows equal: the mismatch is a length
+                # difference (r10 ADVICE — zip alone showed no diagnostic)
+                longer, label = (a, "old") if len(a) > len(b) else (b, "new")
+                print(
+                    f"  len mismatch: old={len(a)} new={len(b)}; first "
+                    f"extra {label} row: {longer[min(len(a), len(b))]}",
+                    flush=True,
+                )
             continue
         if reps == 0:  # equivalence-only mode
             continue

@@ -67,11 +67,15 @@ def main() -> None:
         # keep only the Final Plan tree (the formatted string appends
         # the Initial Plan section, which would double-count)
         final = plan.split("== Initial Plan ==")[0]
-        exch = len(re.findall(r"[+:]- Exchange", final))
-        reused = len(re.findall(r"ReusedExchange", final))
-        scans = len(re.findall(r"Scan parquet", final))
+        # anchor counts on the formatted plan's numbered node listing —
+        # "(N) NodeName" lines list each executed node exactly once, so
+        # a root-position Exchange is counted and tree-prefix artifacts
+        # ("+- "/":- ") can't skew the audit (r10 ADVICE)
+        exch = len(re.findall(r"^\(\d+\) Exchange\b", final, re.M))
+        reused = len(re.findall(r"^\(\d+\) ReusedExchange\b", final, re.M))
+        scans = len(re.findall(r"^\(\d+\) Scan parquet\b", final, re.M))
         # checkpointed intermediates surface as in-memory RDD scans
-        rdd_scans = len(re.findall(r"Scan ExistingRDD", final))
+        rdd_scans = len(re.findall(r"^\(\d+\) Scan ExistingRDD\b", final, re.M))
         print(
             f"{name} {wall:.2f}s exch={exch} reused={reused} "
             f"scan={scans} rdd={rdd_scans}",

@@ -5,18 +5,14 @@ __spark_entry__.queries(). Round-5 judge item #8: pin that window to a
 checked-in list so a future import reorder or new @register can never
 silently swap which queries the scoreboard grades.
 
-Round-10 rotation (round-9 judge items #1 and #2): the r09 window (graph
-+ analytic tiers) went 46/46 green on its first scoreboard appearance,
-so this window finishes the sweep — the FINAL 37 never-driver-checked
-queries (similarity 9, multimodal 4, corpus-mix 4, scale 14,
-q_stats_agg, match 5) plus 13 deliberate post-change re-checks: all six
-registered consumers of the r9 xxhash64 shingle-index re-key
-(operators/dedup.py:42 — every one was last driver-checked on pre-re-key
-code), both consumers of the r9 span-dedup auto-selector default,
-q_pagerank under its auto cadence, the randomized ANN/embedding trio so
-each shares an artifact with its deterministic verify companion, and
-q_dedup_exact as the dedup-tier anchor. After this window runs, every
-registered query has at least one driver row.
+Round-11 rotation (round-10 judge item #1): after the r10 window ran,
+every registered query has at least one driver row, so this window is
+pure post-change re-checking — the 13 query paths whose code changed in
+round 10 (most were last driver-checked on PRE-change code) plus the
+full 38-query headline bench set (the optimization rounds' targets, so
+any round-11 code change to a bench query is automatically driver-
+re-checked), the deterministic verify companions the in-window
+randomized ops require, and two longitudinally valuable re-checks.
 """
 
 import glob
@@ -28,63 +24,53 @@ from assignment_2_dataengineering_spark.plans.registry import (
     all_specs,
 )
 
-# The deliberate round-10 window. Changing this list is allowed — but must
+# The deliberate round-11 window. Changing this list is allowed — but must
 # be THIS explicit.
 EXPECTED_WINDOW = (
-    # final 37 never-driver-checked queries
-    "q_embed_quantize", "q_semantic_dedup", "q_label_centroids",
-    "q_hard_negatives", "q_matryoshka", "q_rank_of_truth",
-    "q_dedup_embedding_verify", "q_ann_ivf_probe", "q_ann_pq_adc",
-    "q_media_phash", "q_audio_vad", "q_audio_resample", "q_media_patchify",
-    "q_token_budget_mix", "q_source_cards", "q_pack_global", "q_mix_epochs",
-    "q_salted_join", "q_merge_upsert", "q_profile", "q_zorder",
-    "q_histogram", "q_scd2", "q_cdc_apply", "q_bloom_membership",
-    "q_key_skew", "q_salted_collect", "q_snapshot_diff",
-    "q_bitemporal_asof", "q_scd2_lookup", "q_exact_quantile",
-    "q_stats_agg",
-    "q_fuzzy_match", "q_json_props", "q_variant_extract",
-    "q_entity_resolve", "q_prob_linkage",
-    # 13 post-change re-check slots
-    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_summary",
-    "q_dedup_clusters", "q_dedup_representative", "q_split_leakage",
-    "q_span_dedup", "q_corpus_pipeline_v2",
-    "q_pagerank",
-    "q_dedup_embedding", "q_ann_ivf", "q_ann_pq",
-    "q_dedup_exact",
+    # the 13 query paths whose code changed in round 10
+    "q_bm25", "q_boilerplate", "q_corpus_pipeline_v2", "q_balance_audit",
+    "q_psi_drift", "q_cooccurrence", "q_user_similarity", "q_prob_linkage",
+    "q_pagerank", "q_communities", "q_bfs_reach", "q_degree_stats",
+    "q_triangle_count",
+    # the full headline bench set (33 not already above)
+    "q_groupby_sum", "q_window_agg", "q_join_broadcast", "q_left_join",
+    "q_latest_per_key", "q_pivot", "q_unpivot", "q_text_quality",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_bpe_merges",
+    "q_ann_bruteforce", "q_media_features", "q_analytic_window",
+    "q_hll_rollup", "q_auc_rank", "q_asof_join", "q_gap_fill", "q_ohlc",
+    "q_attribution", "q_decontaminate", "q_tfidf", "q_corpus_pipeline",
+    "q_lm_score", "q_span_dedup", "q_semantic_dedup", "q_cdc_apply",
+    "q_json_props", "q_ann_ivf", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18",
+    "q_tpch_q9",
+    # verify companions for the in-window randomized ops
+    "q_dedup_minhash_verify", "q_ann_ivf_probe",
+    # longitudinally valuable re-checks
+    "q_dedup_ngram_jaccard", "q_key_skew",
 )
 
-# The never-checked portion: these 37 queries had NO row in any
-# CORRECTNESS_r01..r09 artifact when this window was cut.
-NEVER_CHECKED = EXPECTED_WINDOW[:37]
-
-# The re-check portion: each entry is (query, why it earns a slot).
-RECHECKS = {
-    # r9 re-keyed the shared shingle index to xxhash64 (dedup.py:42);
-    # every registered consumer was last driver-checked pre-re-key.
-    "q_dedup_ngram_jaccard": "shingle-index re-key consumer (last r07)",
-    "q_dedup_containment": "shingle-index re-key consumer (last r07)",
-    "q_dedup_summary": "shingle-index re-key consumer (last r06)",
-    "q_dedup_clusters": "shingle-index re-key consumer (last r08)",
-    "q_dedup_representative": "shingle-index re-key consumer (last r08)",
-    "q_split_leakage": "shingle-index re-key consumer (last r08)",
-    # r9 made the scale-aware first-occurrence strategy the default.
-    "q_span_dedup": "span-dedup auto-selector default (last r08)",
-    "q_corpus_pipeline_v2": "span_dedup consumer (last r08)",
-    # r9 made the checkpoint cadence scale-aware; re-confirm.
-    "q_pagerank": "auto cadence re-confirmation (green r09)",
-    # randomized ops sharing an artifact with their verify companions
-    "q_dedup_embedding": "companion q_dedup_embedding_verify in window",
-    "q_ann_ivf": "companion q_ann_ivf_probe in window",
-    "q_ann_pq": "companion q_ann_pq_adc in window",
-    "q_dedup_exact": "dedup-tier anchor",
+# The r10-changed portion: each entry is (query, why it earns a slot).
+R10_CHANGED = {
+    "q_bm25": "r10 single-aggregate restructure (queries_corpus.py)",
+    "q_boilerplate": "r10 shared shingling checkpoint (cleaning.py)",
+    "q_corpus_pipeline_v2": "r10 capped-stage checkpoint",
+    "q_balance_audit": "r10 contingency-table checkpoint",
+    "q_psi_drift": "r10 bounds/bin-cell checkpoints",
+    "q_cooccurrence": "r10 distinct (user,type) checkpoint",
+    "q_user_similarity": "r10 distinct (user,item) checkpoint",
+    "q_prob_linkage": "r10 per-field histogram checkpoints (linkage.py)",
+    "q_pagerank": "r10 graph bucket-grain selector consumer",
+    "q_communities": "r10 graph bucket-grain selector consumer",
+    "q_bfs_reach": "r10 graph bucket-grain selector consumer",
+    "q_degree_stats": "r10 graph bucket-grain selector consumer",
+    "q_triangle_count": "r10 ud/o checkpoints + bucket selector consumer",
 }
 
-# In-window rows-only entries (`oracle=None` by design): randomized
-# banding / greedy-keep internals with invariants + deterministic
-# verify companions tested elsewhere.
+# In-window rows-only entries (`oracle=None` by design): the bench set's
+# randomized banding / sketch-internal ops, each invariant-tested and
+# (where randomized) paired with an in-window deterministic verify
+# companion.
 WINDOW_NO_ORACLE = (
-    "q_semantic_dedup", "q_media_phash", "q_bloom_membership",
-    "q_dedup_embedding", "q_ann_ivf", "q_ann_pq",
+    "q_semantic_dedup", "q_ann_ivf", "q_dedup_minhash_lsh", "q_hll_rollup",
 )
 
 # Companion map for every randomized no-oracle op in the registry: if the
@@ -99,11 +85,13 @@ VERIFY_COMPANIONS = {
 }
 
 
-def _driver_rows_before_r10() -> set[str]:
-    """Union of query names across CORRECTNESS_r01..r09 artifacts."""
+def _driver_rows_through_r10() -> set[str]:
+    """Union of query names across CORRECTNESS_r01..r10 artifacts."""
     root = os.path.join(os.path.dirname(__file__), "..")
     seen: set[str] = set()
-    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json"))):
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json"))) + sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r10.json"))
+    ):
         with open(f) as fh:
             seen |= set(json.load(fh))
     return seen
@@ -113,7 +101,7 @@ def test_window_is_the_checked_in_list():
     assert DRIVER_WINDOW == EXPECTED_WINDOW
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
-    assert set(RECHECKS) == set(EXPECTED_WINDOW[37:])
+    assert set(R10_CHANGED) == set(EXPECTED_WINDOW[:13])
 
 
 def test_registry_order_starts_with_the_window():
@@ -123,53 +111,35 @@ def test_registry_order_starts_with_the_window():
     assert len(names) == len(set(names))
 
 
-def test_window_completes_driver_coverage():
-    """The r10 window's whole point: slots 1-37 are exactly the queries
-    with no prior CORRECTNESS row, so after this window runs EVERY
-    registered query has faced the driver gate at least once. (Skipped
-    when the artifacts aren't present, e.g. in an sdist.)"""
-    seen = _driver_rows_before_r10()
+def test_window_holds_the_full_bench_set():
+    """The r11 window's point: every headline bench query (the
+    optimization rounds' targets) is driver-re-checked this round, so a
+    round-11 performance change can never dodge the correctness gate."""
+    specs = all_specs()
+    bench = {n for n, s in specs.items() if s.bench}
+    assert bench <= set(EXPECTED_WINDOW), (
+        f"bench queries missing from the window: "
+        f"{sorted(bench - set(EXPECTED_WINDOW))}"
+    )
+
+
+def test_coverage_is_complete_and_window_is_pure_recheck():
+    """After r10, every registered query has a driver row; the r11 window
+    therefore re-checks only. (Skipped when the artifacts aren't present,
+    e.g. in an sdist.)"""
+    seen = _driver_rows_through_r10()
     if not seen:
         return
     specs = set(all_specs())
-    never = specs - seen
-    assert never == set(NEVER_CHECKED), (
-        f"never-checked set drifted: extra={sorted(never - set(NEVER_CHECKED))} "
-        f"missing={sorted(set(NEVER_CHECKED) - never)}"
+    assert specs <= seen, (
+        f"queries with no driver row despite full r10 coverage: "
+        f"{sorted(specs - seen)}"
     )
-    # and the re-check slots are genuinely re-checks
-    assert set(RECHECKS) <= seen
-
-
-def test_rechecked_consumers_of_r9_changes_are_all_present():
-    """Every registered consumer of the r9 shingle-index re-key must hold
-    a re-check slot — greps the plans package for the consumer functions
-    so a new consumer can't silently dodge the re-check policy."""
-    import pathlib
-
-    plans = pathlib.Path(__file__).parent.parent / (
-        "assignment_2_dataengineering_spark/plans"
-    )
-    consumers = set()
-    for p in plans.glob("queries*.py"):
-        src = p.read_text()
-        if "ngram_jaccard_pairs" in src or "containment_pairs" in src:
-            # map files to their registered consumer queries
-            for q in (
-                "q_dedup_ngram_jaccard", "q_dedup_containment",
-                "q_dedup_summary", "q_dedup_clusters",
-                "q_dedup_representative", "q_split_leakage",
-            ):
-                if f"def {q}(" in src:
-                    consumers.add(q)
-    assert consumers <= set(RECHECKS), (
-        f"shingle-index consumers missing a re-check slot: "
-        f"{sorted(consumers - set(RECHECKS))}"
-    )
+    assert set(EXPECTED_WINDOW) <= seen
 
 
 def test_window_no_oracle_rows_are_exactly_the_pinned_set():
-    # 44 of 50 window rows face the driver's full value-hash oracle.
+    # 46 of 50 window rows face the driver's full value-hash oracle.
     specs = all_specs()
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert sorted(no_oracle) == sorted(WINDOW_NO_ORACLE)
@@ -188,7 +158,7 @@ def test_rotated_out_queries_still_registered_and_oracle_paired():
     its oracle pairing (or deliberate absence) is unchanged — rotation
     never drops coverage from the full-registry local parity suite."""
     specs = all_specs()
-    seen = _driver_rows_before_r10()
+    seen = _driver_rows_through_r10()
     for name in seen:
         assert name in specs, f"rotation dropped {name} from the registry"
 
