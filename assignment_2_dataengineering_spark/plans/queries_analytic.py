@@ -1427,11 +1427,14 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more than the re-planned passes they save when the fact table is
 # overhead-scale. The dial is the optimizer's sizeInBytes estimate of
 # the 3-column events projection (no job — the span/graph selector
-# mechanism). Measured plan-stat bytes (round-11 calibration, this
-# repo's gen tiers): 2.2e6 at sf0.1 (lazy wins) vs 2.1e8 at sf10
-# (materialized wins) → threshold 2.2e7, the geometric mean, ~10x from
-# both measured points.
-PSI_MATERIALIZE_MIN_BYTES = 22_000_000
+# mechanism). Measured plan-stat bytes (round-11 calibration,
+# scripts/r11_measure.py psi): 1,125,169 at sf0.1 (lazy wins, 2.15 vs
+# 2.63 s) vs 108,053,139 at sf10 (materialized form, now disk_persist
+# via the scale-aware materialize chokepoint, measured −62% in one
+# sweep and a tie in a later one — kept for the r10-measured sf10 win
+# with today's worst case a tie) → threshold 1.1e7, the geometric
+# mean, ~10x from both measured points.
+PSI_MATERIALIZE_MIN_BYTES = 11_000_000
 
 
 def select_psi_materialization(est_bytes: int) -> bool:

@@ -237,7 +237,23 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory (≥ ~10^8 types) swaps the hint for
     dfreq.hint(\"shuffle_hash\") — distributed df join, one extra
     tf-by-token exchange; every measured tier (31-3.1k types; real web
-    corpora sit at 10^6-10^7) fits broadcast comfortably."""
+    corpora sit at 10^6-10^7) fits broadcast comfortably.
+
+    Round-11 exchange-fold experiment, tried and REVERTED: explicitly
+    hash-partitioning the occurrence stream by doc_id before the tf
+    aggregate (repartition("doc_id") — a grouping-key prefix satisfies
+    the aggregate's clustered distribution AND the final ranking
+    window, deleting the window's Exchange + re-sort; plan diff
+    preserved in plans/r11/q_tfidf_{before,after}.txt). Measured,
+    fresh-JVM min(first, post-GC repeat) alternating old/new, 6 reps
+    each at sf10/256 partitions: old 5.63-9.06 s (median 7.14), new
+    4.88-17.61 s (median 7.49 with a BIMODAL worse tail — two reps at
+    15.8/17.6). Mechanism: the window exchange it deletes was already
+    pruned to ~top-k rows per partition by the partial
+    WindowGroupLimit, while the doc_id exchange it adds carries RAW
+    occurrences with no map-side combine — little to win, an unstable
+    tail to lose. At sf0.1 the new form also lost (0.825 → 0.917 s
+    interleaved). The two-exchange aggregate shape stays."""
     d = T(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -1076,10 +1092,16 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2.15 -> 1.91 s at sf0.1, interleaved A/B). localCheckpoint
     # preserves the optimizer's sizeInBytes estimate, so span_dedup's
     # auto strategy selector still sees the scan-derived statistic.
+    # prefer="local_checkpoint": the ONE measured exception to the
+    # scale-aware materialize default — this table carries the full
+    # text column, and the columnar disk_persist form lost at BOTH
+    # tiers (sf0.1 1.88 → 2.35 s, sf10 1.81 → 2.18 s; round-11
+    # durability A/B) to string encode/decode overhead.
     capped = materialize(
         cap_per_group(docs, "source", k=20, id_col="doc_id").select(
             "doc_id", "source", "text"
-        )
+        ),
+        prefer="local_checkpoint",
     )
     # max_shingle_freq=64 is the production df-cap guard (hot
     # boilerplate shingles route around the per-key window); output is

@@ -261,6 +261,56 @@ def main() -> None:
         }
 
 
+    # ---- sf100 spot block: top-5 document-tier queries -------------------
+    # (round-10 judge item #8: make work-dominated-tier regressions
+    # longitudinally visible in the binding artifact next to sf0.1/sf10;
+    # scripts/bench_sf100.py already has the discipline — this is its
+    # wiring.) Gated to BINDING runs: the block is ~5-10 minutes of
+    # minute-scale children, which would dominate the driver's own
+    # invocation for no scoreboard value (the driver benches sf0.1).
+    # Only the documents table exists at this tier (917 MB, 5M docs —
+    # .benchdata/sf100 generation note in scripts/gen_scale_data.py), so
+    # the subset is the five most expensive DOCUMENT-tier queries of the
+    # sf10 block. Fail-soft like the sf10 block.
+    SF100_SUBSET = [
+        "q_lm_score", "q_span_dedup", "q_tfidf", "q_dedup_minhash_lsh",
+        "q_decontaminate",
+    ]
+    sf100_dir = os.environ.get(
+        "SPARK_GRAFT_SF100_DIR", os.path.join(REPO, ".benchdata", "sf100")
+    )
+    sf100_block = None
+    if (
+        os.path.isdir(sf100_dir)
+        and os.environ.get("SPARK_GRAFT_BINDING") == "1"
+        and os.environ.get("SPARK_GRAFT_SKIP_SF100") != "1"
+    ):
+        sf100_timings = _run_isolated(
+            SF100_SUBSET, sf100_dir, timed_runs=1, child_timeout=1800,
+            extra_env={
+                # the bench_sf100.py discipline (SCALE.md §7): production
+                # shuffle sizing + a heap the text tier doesn't spill in
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"),
+                "SPARK_DRIVER_MEMORY": os.environ.get(
+                    "SPARK_DRIVER_MEMORY", "96g"),
+            },
+            warm="scale",
+        )
+        sf100_block = {
+            "value": round(sum(t for t in sf100_timings.values() if t > 0), 2),
+            "unit": "sec",
+            "queries": sf100_timings,
+            "failed": sorted(n for n, t in sf100_timings.items() if t < 0),
+            "sf": 100,
+            "timed_runs_per_query": 1,
+            "shuffle_partitions": os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"),
+            "isolation": "fresh JVM per query",
+            "warm": "page cache primed; min(first run, post-GC repeat)",
+            "note": "binding runs only; documents-tier subset",
+        }
+
     # ---- streaming throughput -------------------------------------------
     from assignment_2_dataengineering_spark.session import get_spark
 
@@ -458,6 +508,7 @@ def main() -> None:
         "stream_dedup_dps": stream_dedup_dps,
         "streams_sf1": streams_sf1_block,
         "sf10": sf10_block,
+        "sf100": sf100_block,
     }
     # Artifact routing (round-9 judge item #7 / ADVICE): every invocation
     # uses the same isolated-JVM protocol, but only a run the BUILDER

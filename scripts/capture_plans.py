@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for bench-tagged (or named) queries
-into plans/r10/<query>_<suffix>.txt — the optimization round's
+into plans/<round>/<query>_<suffix>.txt — the optimization round's
 plan-claim evidence (the judge reads these files, not a live Spark).
 
 Usage: python scripts/capture_plans.py SUFFIX [q_name,q_name,...]
@@ -22,7 +22,7 @@ from assignment_2_dataengineering_spark.session import get_spark  # noqa: E402
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     specs = all_specs()

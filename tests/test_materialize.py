@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from assignment_2_dataengineering_spark.operators.materialize import materialize
+from assignment_2_dataengineering_spark.operators.materialize import (
+    MAT_DISK_PERSIST_MIN_BYTES,
+    materialize,
+    select_materialize_mode,
+)
 from assignment_2_dataengineering_spark.plans.queries_analytic import (
     PSI_MATERIALIZE_MIN_BYTES,
     select_psi_materialization,
@@ -44,6 +48,37 @@ def test_unknown_mode_fails_loudly(spark, monkeypatch):
         materialize(_base(spark))
 
 
+def test_materialize_mode_selector_boundary():
+    # local_checkpoint strictly below the documented threshold,
+    # disk_persist at it
+    assert (
+        select_materialize_mode(MAT_DISK_PERSIST_MIN_BYTES - 1)
+        == "local_checkpoint"
+    )
+    assert select_materialize_mode(MAT_DISK_PERSIST_MIN_BYTES) == "disk_persist"
+    # the measured calibration envelopes fall on the right sides:
+    # every sf0.1 site estimate was <= 1.5e6, every sf10 site >= 2.9e7
+    assert select_materialize_mode(1_500_000) == "local_checkpoint"
+    assert select_materialize_mode(29_000_000) == "disk_persist"
+
+
+def test_per_site_prefer_beats_auto_but_not_env(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    # prefer pins the form regardless of the selector...
+    lc = materialize(_base(spark), prefer="local_checkpoint")
+    assert lc.storageLevel.useMemory is False and not lc.storageLevel.useDisk
+    # ...but the explicit env override still wins over prefer
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "disk_persist")
+    dp = materialize(_base(spark), prefer="local_checkpoint")
+    try:
+        assert dp.storageLevel.useDisk and not dp.storageLevel.useMemory
+        assert isinstance(dp, DataFrame)
+    finally:
+        dp.unpersist()
+
+
 def test_psi_both_gate_forms_value_identical(spark, sf_dir, monkeypatch):
     """The q_psi_drift tier gate changes the plan only: forcing the
     materialized form at the lazy tier must produce exactly the lazy
@@ -63,5 +98,5 @@ def test_psi_gate_boundary():
     assert select_psi_materialization(PSI_MATERIALIZE_MIN_BYTES - 1) is False
     assert select_psi_materialization(PSI_MATERIALIZE_MIN_BYTES) is True
     # the measured calibration points fall on the right sides
-    assert select_psi_materialization(2_200_000) is False  # sf0.1 plan stat
-    assert select_psi_materialization(210_000_000) is True  # sf10 plan stat
+    assert select_psi_materialization(1_125_169) is False  # sf0.1 plan stat
+    assert select_psi_materialization(108_053_139) is True  # sf10 plan stat
